@@ -1,0 +1,229 @@
+"""MoME (Mixture-of-Modality-Experts) transformer block.
+
+Reimplements the three routing strategies of the reference ``Block``
+(reference: src/vilt/modules/vision_transformer.py:366-691) as statically
+specialized pure functions: ``type_id`` and the block's expert structure are
+Python-level constants, so each (mode, type_id) pair compiles to its own
+branch-free XLA graph.
+
+Numerics follow the reference exactly: BEiT-style qkv bias (learnable q/v
+bias, frozen zero k bias; vision_transformer.py:332-337), fp32 attention
+logits with additive relative-position bias and -inf padding mask
+(vision_transformer.py:346-355), LayerScale residuals (gamma_1/gamma_2),
+and stochastic depth on both residual branches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import drop_path, gelu, layer_norm, linear
+from .spec import BlockSpec, ModelSpec, Params, V, L, VL
+
+LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6); vision_transformer.py:831
+
+
+def attention(
+    params: Params,
+    prefix: str,
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    rel_bias: Optional[jax.Array],
+    num_heads: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-head self-attention with fp32 logits.
+
+    x: (B, N, C); mask: (B, N) 1=valid; rel_bias: (heads, N, N) fp32.
+    Returns (out (B,N,C), attn probs (B,heads,N,N) in x.dtype).
+    reference: vision_transformer.py:329-363.
+    """
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    scale = head_dim ** -0.5
+
+    q_bias = params[f"{prefix}.q_bias"]
+    v_bias = params[f"{prefix}.v_bias"]
+    qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
+    qkv = linear(x, params[f"{prefix}.qkv.weight"], qkv_bias, dtype=x.dtype)
+    qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))        # 3, B, H, N, hd
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    # fp32 logits on the MXU (matches q.float() @ k.float())
+    attn = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )                                                # B, H, N, N (f32)
+    if rel_bias is not None:
+        attn = attn + rel_bias[None].astype(jnp.float32)
+    if mask is not None:
+        neg = jnp.asarray(-jnp.inf, attn.dtype)
+        attn = jnp.where(mask[:, None, None, :] > 0, attn, neg)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+
+    out = jax.lax.dot_general(
+        attn, v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=x.dtype,
+    )                                                # B, H, N, hd
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+    out = linear(out, params[f"{prefix}.proj.weight"],
+                 params[f"{prefix}.proj.bias"], dtype=x.dtype)
+    return out, attn
+
+
+def mlp(params: Params, prefix: str, x: jax.Array) -> jax.Array:
+    """fc1 → GELU → fc2 (dropout rate is 0 in all reference configs)."""
+    h = gelu(linear(x, params[f"{prefix}.fc1.weight"],
+                    params[f"{prefix}.fc1.bias"], dtype=x.dtype))
+    return linear(h, params[f"{prefix}.fc2.weight"],
+                  params[f"{prefix}.fc2.bias"], dtype=x.dtype)
+
+
+_TASK_OF_TYPE = {V: "v", L: "l", VL: "vl"}
+
+
+def _ln(params: Params, p: str, name: str, x: jax.Array) -> jax.Array:
+    return layer_norm(x, params[f"{p}.{name}.weight"],
+                      params[f"{p}.{name}.bias"], eps=LN_EPS)
+
+
+def apply_ln(
+    params: Params, p: str, base: str, expert: bool, b: BlockSpec,
+    type_id: int, x: jax.Array, text_len: int,
+) -> jax.Array:
+    """Per-modality or shared LayerNorm (vision_transformer.py:495-523)."""
+    if not expert:
+        return _ln(params, p, base, x)
+    if type_id in (V, L) or (type_id == VL and b.has_vl):
+        return _ln(params, p, f"{base}.{_TASK_OF_TYPE[type_id]}", x)
+    # fused input without a vl expert: per-modality LN on each half
+    x_text = _ln(params, p, f"{base}.l", x[:, :text_len])
+    x_imag = _ln(params, p, f"{base}.v", x[:, text_len:])
+    return jnp.concatenate([x_text, x_imag], axis=1)
+
+
+def _split(x, mask, rel_bias, text_len):
+    tb = rel_bias[:, :text_len, :text_len]
+    ib = rel_bias[:, text_len:, text_len:]
+    return (x[:, :text_len], x[:, text_len:], mask[:, :text_len],
+            mask[:, text_len:], tb, ib)
+
+
+def _attn_part(
+    params: Params, p: str, b: BlockSpec, x: jax.Array,
+    mask: Optional[jax.Array], rel_bias: Optional[jax.Array],
+    type_id: int, spec: ModelSpec, text_len: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pre-norm + attention, returning the un-residualed branch output.
+
+    Covers plain (:525-530), separate_plain (:560-584) and moe (:607-654)
+    attention routing.
+    """
+    H = spec.num_heads
+
+    def ln1(v):
+        return apply_ln(params, p, "norm1", b.norm1_experts, b, type_id, v,
+                        text_len)
+
+    if b.kind == "moe" and b.attn_experts:
+        if type_id in (V, L) or (type_id == VL and b.has_vl):
+            t = _TASK_OF_TYPE[type_id]
+            return attention(params, f"{p}.attn.{t}", ln1(x), mask, rel_bias, H)
+        if b.self_attn_single:
+            # per-modality self-attention on split halves (:619-637)
+            _x = ln1(x)
+            xt, xi, mt, mi, bt, bi = _split(_x, mask, rel_bias, text_len)
+            ot, at = attention(params, f"{p}.attn.l", xt, mt, bt, H)
+            oi, ai = attention(params, f"{p}.attn.v", xi, mi, bi, H)
+            return jnp.concatenate([ot, oi], axis=1), ai
+        # both experts over all tokens, re-concat each modality's half (:639-649)
+        _x = ln1(x)
+        ot, at = attention(params, f"{p}.attn.l", _x, mask, rel_bias, H)
+        oi, ai = attention(params, f"{p}.attn.v", _x, mask, rel_bias, H)
+        out = jnp.concatenate([ot[:, :text_len], oi[:, text_len:]], axis=1)
+        return out, (at + ai) / 2
+
+    # shared attention weights
+    joint = (
+        type_id in (V, L)
+        or (type_id == VL and b.has_vl)
+        or not b.self_attn_single
+    )
+    if joint:
+        return attention(params, f"{p}.attn", ln1(x), mask, rel_bias, H)
+    # shared weights, modality-block-diagonal attention (:560-584)
+    _x = ln1(x)
+    xt, xi, mt, mi, bt, bi = _split(_x, mask, rel_bias, text_len)
+    ot, at = attention(params, f"{p}.attn", xt, mt, bt, H)
+    oi, ai = attention(params, f"{p}.attn", xi, mi, bi, H)
+    return jnp.concatenate([ot, oi], axis=1), ai
+
+
+def _mlp_part(
+    params: Params, p: str, b: BlockSpec, x: jax.Array, type_id: int,
+    text_len: int,
+) -> jax.Array:
+    def ln2(v):
+        return apply_ln(params, p, "norm2", b.norm2_experts, b, type_id, v,
+                        text_len)
+
+    if b.kind == "moe" and b.mlp_experts:
+        if type_id in (V, L) or (type_id == VL and b.has_vl):
+            t = _TASK_OF_TYPE[type_id]
+            return mlp(params, f"{p}.mlp.{t}", ln2(x))
+        _x = ln2(x)
+        ht = mlp(params, f"{p}.mlp.l", _x[:, :text_len])
+        hi = mlp(params, f"{p}.mlp.v", _x[:, text_len:])
+        return jnp.concatenate([ht, hi], axis=1)
+
+    if (b.kind == "sep_plain" and type_id == VL and not b.has_vl):
+        # shared weights but split halves (:588-601); numerically identical to
+        # the joint MLP — kept split only to mirror reference structure
+        _x = ln2(x)
+        ht = mlp(params, f"{p}.mlp", _x[:, :text_len])
+        hi = mlp(params, f"{p}.mlp", _x[:, text_len:])
+        return jnp.concatenate([ht, hi], axis=1)
+
+    return mlp(params, f"{p}.mlp", ln2(x))
+
+
+def block_forward(
+    params: Params,
+    spec: ModelSpec,
+    b: BlockSpec,
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    rel_bias: Optional[jax.Array],
+    type_id: int,
+    *,
+    drop_path_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One MoME block (vision_transformer.py:683-691 dispatch)."""
+    p = f"transformer.blocks.{b.index}"
+    # Fused sequences split at Block.max_text_len == config max_text_len
+    # (vision_transformer.py:493, 510, 542); when the fused batch was built
+    # with vl-truncated text (max_vl_text_len), infer the split from shape.
+    text_len = spec.max_text_len
+    if type_id == VL and x.shape[1] != text_len + spec.image_len:
+        text_len = x.shape[1] - spec.image_len
+
+    r1 = r2 = None
+    if train and rng is not None:
+        r1, r2 = jax.random.split(rng)
+
+    branch, attn_probs = _attn_part(params, p, b, x, mask, rel_bias, type_id,
+                                    spec, text_len)
+    g1 = params[f"{p}.gamma_1"].astype(branch.dtype)
+    x = x + drop_path(g1 * branch, drop_path_rate, r1, train)
+
+    branch2 = _mlp_part(params, p, b, x, type_id, text_len)
+    g2 = params[f"{p}.gamma_2"].astype(branch2.dtype)
+    x = x + drop_path(g2 * branch2, drop_path_rate, r2, train)
+    return x, attn_probs
