@@ -157,6 +157,48 @@ def scale_gram(G: np.ndarray, scaling_for_non_diag: float) -> np.ndarray:
     return scaling_for_non_diag * G + (1 - scaling_for_non_diag) * diag
 
 
+class _TorchLinalg:
+    """float64 matmul/inverse through torch CPU.
+
+    The reference computes RegMean with torch CPU LAPACK/BLAS; numpy's
+    OpenBLAS produces ulp-level differences in dgemm/getri, which breaks the
+    bit-identical-merged-checkpoint contract.  Merging is an offline host
+    tool (never on the TPU compute path), so when torch is importable we use
+    it for exactly these three ops; otherwise fall back to numpy.
+    """
+
+    def __init__(self):
+        import torch  # local import; cpu-only usage
+        self.torch = torch
+
+    def matmul(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        t = self.torch
+        return (t.from_numpy(np.ascontiguousarray(a))
+                @ t.from_numpy(np.ascontiguousarray(b))).numpy()
+
+    def inv(self, a: np.ndarray) -> np.ndarray:
+        return self.torch.inverse(
+            self.torch.from_numpy(np.ascontiguousarray(a))).numpy()
+
+
+class _NumpyLinalg:
+    def matmul(self, a, b):
+        return a @ b
+
+    def inv(self, a):
+        return np.linalg.inv(a)
+
+
+def _linalg_backend(name: str = "auto"):
+    if name in ("auto", "torch"):
+        try:
+            return _TorchLinalg()
+        except ImportError:
+            if name == "torch":
+                raise
+    return _NumpyLinalg()
+
+
 def regmean(
     state_dict: StateDict,
     gram_matrices: Dict[str, np.ndarray],
@@ -165,6 +207,7 @@ def regmean(
     vlffn_start_layer_index: int,
     loss_names: Dict[str, float],
     scaling_for_non_diag: float = 1.0,
+    linalg: str = "auto",
 ) -> StateDict:
     """RegMean merging (vilt_module.py:366-531).
 
@@ -175,6 +218,7 @@ def regmean(
     397-404) — replicated exactly.
     """
     new = _passthrough(state_dict)
+    la = _linalg_backend(linalg)
 
     def layer_mods(i):
         if i < vlffn_start_layer_index:
@@ -199,7 +243,7 @@ def regmean(
                     np.asarray(gram_matrices[gram_name], np.float64),
                     scaling_for_non_diag)
                 summed_gram = G if summed_gram is None else summed_gram + G
-                acc = acc + state_dict[name].astype(np.float64) @ G
+                acc = acc + la.matmul(state_dict[name].astype(np.float64), G)
             else:
                 acc = state_dict[merged_name]
                 summed_gram = None
@@ -207,7 +251,7 @@ def regmean(
         if summed_gram is None:
             new[merged_name] = acc
         else:
-            new[merged_name] = acc @ np.linalg.inv(summed_gram)
+            new[merged_name] = la.matmul(acc, la.inv(summed_gram))
 
     def avg_merge(i, mods, expert_t, merged_name, n):
         acc = 0
