@@ -1,0 +1,201 @@
+"""Data layer tests: tokenizer, collators, arrow datasets, loaders."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_fixture_root, WORDS
+from vl_merging_tpu.config import build_config
+from vl_merging_tpu.data import (
+    MLMCollator, MTDataModule, ShardedBatchSampler, WordPieceTokenizer,
+    build_tokenizer,
+)
+from vl_merging_tpu.data.masking_generator import MaskingGenerator
+from vl_merging_tpu.data.transforms import SquareTransform, \
+    SquareTransformRandaug, SquareTransformMim
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return make_fixture_root(tmp_path_factory.mktemp("arrow"))
+
+
+@pytest.fixture(scope="module")
+def tok(root):
+    return build_tokenizer(os.path.join(root, "vocab.txt"))
+
+
+def data_cfg(root, **over):
+    overrides = dict(
+        data_root=root, image_size=64, patch_size=16, max_text_len=16,
+        max_text_len_of_initckpt=16, num_workers=2,
+        tokenizer=os.path.join(root, "vocab.txt"),
+    )
+    overrides.update(over)
+    return build_config(overrides=overrides)
+
+
+def test_tokenizer_roundtrip(tok):
+    enc = tok.encode("a dog plays with the red ball", max_length=16)
+    assert enc["input_ids"][0] == tok.cls_token_id
+    assert enc["input_ids"][len(enc["input_ids"]) - 1] == tok.sep_token_id
+    assert enc["special_tokens_mask"][0] == 1
+    toks = enc["tokens"]
+    assert "dog" in toks
+
+
+def test_mlm_collator_distribution(tok):
+    encs = [tok.encode(" ".join(np.random.choice(WORDS, 12)), max_length=16)
+            for _ in range(200)]
+    coll = MLMCollator(tok, mlm_prob=0.15, seed=0)
+    out = coll(encs, max_length=16)
+    labels = out["mlm_labels"]
+    ids = out["input_ids"]
+    masked = labels != -100
+    # masked rate over non-special positions ≈ 15%
+    nonspecial = (ids != tok.pad_token_id) & (ids != tok.cls_token_id) & \
+        (ids != tok.sep_token_id)
+    rate = masked.sum() / nonspecial.sum()
+    assert 0.10 < rate < 0.20, rate
+    # ~80% of masked became [MASK]
+    mask_frac = (out["mlm_input_ids"][masked] == tok.mask_token_id).mean()
+    assert 0.7 < mask_frac < 0.9, mask_frac
+    # labels preserve original ids at masked positions
+    np.testing.assert_array_equal(labels[masked], ids[masked])
+    # unmasked labels are ignored
+    assert (labels[~masked] == -100).all()
+
+
+def test_wwm_collator_masks_whole_words(tok):
+    # "playing" tokenizes to multiple word pieces in the tiny vocab
+    text = "playing playing playing playing playing playing"
+    enc = tok.encode(text, max_length=32)
+    tokens = enc["tokens"]
+    assert any(t.startswith("##") for t in tokens)
+    coll = MLMCollator(tok, mlm_prob=0.3, whole_word=True, seed=0)
+    hit_any = False
+    for trial in range(20):
+        out = coll([enc], max_length=32)
+        labels = out["mlm_labels"][0]
+        masked = labels != -100
+        if not masked.any():
+            continue
+        hit_any = True
+        # every masked continuation token's word-start is masked too
+        for i in np.where(masked)[0]:
+            if tokens[i].startswith("##"):
+                j = i
+                while tokens[j].startswith("##"):
+                    j -= 1
+                assert masked[j], (i, j, tokens)
+        # and conversely whole words are fully covered
+        for i in np.where(masked)[0]:
+            j = i + 1
+            while j < len(tokens) and tokens[j].startswith("##"):
+                assert masked[j], (i, j, tokens)
+                j += 1
+    assert hit_any
+
+
+def test_transforms_shapes():
+    from PIL import Image
+    img = Image.fromarray(
+        (np.random.rand(100, 80, 3) * 255).astype(np.uint8))
+    out = SquareTransform(64)(img)
+    assert out.shape == (3, 64, 64)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    out = SquareTransformRandaug(64)(img)
+    assert out.shape == (3, 64, 64)
+    v1, v2 = SquareTransformMim(64, 32)(img)
+    assert v1.shape == (3, 64, 64) and v2.shape == (3, 32, 32)
+    # dVAE view is logit-laplace mapped into (0.1, 0.9)
+    assert v2.min() >= 0.1 - 1e-6 and v2.max() <= 0.9 + 1e-6
+
+
+def test_masking_generator():
+    # the real config's window: 14x14 patches, 75 masked (config.py:161)
+    gen = MaskingGenerator(14, num_masking_patches=75)
+    # the block-wise sampler may fall a few short when the final block
+    # can't fit (same as the reference's delta==0 break)
+    for _ in range(5):
+        m = gen()
+        assert m.shape == (14, 14)
+        assert 70 <= m.sum() <= 75 + 16
+
+
+def test_sharded_sampler_partition():
+    idx_by_host = []
+    for host in range(4):
+        s = ShardedBatchSampler(103, batch_size=4, num_hosts=4,
+                                host_index=host, seed=7)
+        s.set_epoch(3)
+        idx_by_host.append([i for b in s for i in b])
+    # equal sizes, no overlap across hosts
+    sizes = {len(x) for x in idx_by_host}
+    assert sizes == {len(idx_by_host[0])}
+    flat = sum(idx_by_host, [])
+    assert len(flat) == len(set(flat))
+    # deterministic given (seed, epoch)
+    s2 = ShardedBatchSampler(103, 4, 4, 0, seed=7)
+    s2.set_epoch(3)
+    assert [i for b in s2 for i in b] == idx_by_host[0]
+
+
+def test_caption_dataset_and_loader(root):
+    cfg = data_cfg(root, datasets=["f30k"])
+    dm = MTDataModule(cfg)
+    loader = dm.train_loader(batch_size=4)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 3, 64, 64)
+    assert batch["text_ids"].shape == (4, 16)
+    assert batch["text_ids_mlm"].shape == (4, 16)
+    assert batch["text_masks"].shape == (4, 16)
+    assert (batch["text_labels"] == -100).all()
+    # mlm labels only where masked
+    masked = batch["text_labels_mlm"] != -100
+    np.testing.assert_array_equal(batch["text_labels_mlm"][masked],
+                                  batch["text_ids"][masked])
+
+
+def test_vqa_dataset(root):
+    cfg = data_cfg(root, datasets=["vqa"],
+                   loss_names={"vqa": 1})
+    dm = MTDataModule(cfg)
+    batch = next(iter(dm.train_loader(batch_size=4)))
+    assert batch["vqa_targets"].shape == (4, 3129)
+    assert batch["image"].shape == (4, 3, 64, 64)
+    assert len(batch["qid"]) == 4
+    assert (batch["vqa_targets"].sum(axis=1) > 0).all()
+
+
+def test_nlvr2_dataset(root):
+    cfg = data_cfg(root, datasets=["nlvr2"], loss_names={"nlvr2": 1})
+    dm = MTDataModule(cfg)
+    batch = next(iter(dm.train_loader(batch_size=4)))
+    assert batch["image_0"].shape == (4, 3, 64, 64)
+    assert batch["image_1"].shape == (4, 3, 64, 64)
+    assert set(np.asarray(batch["answers"]).tolist()) <= {0, 1}
+    assert len(batch["table_name"]) == 4
+
+
+def test_retrieval_eval_dsets(root):
+    cfg = data_cfg(root, datasets=["f30k"])
+    dm = MTDataModule(cfg)
+    text_dset = dm.dms[0].make_no_false_test_dset()
+    img_dset = dm.dms[0].make_no_false_test_dset(image_only=True)
+    # text dset is caption-flattened; image dset one row per image
+    assert len(text_dset) == 2 * len(img_dset) or len(text_dset) >= len(img_dset)
+    s = text_dset[0]
+    assert "encoding" in s and "img_index" in s
+
+
+def test_mim_transform_batch(root):
+    cfg = data_cfg(root, datasets=["f30k"],
+                   train_transform_keys=["square_transform_randaug_mim"],
+                   loss_names={"mim": 1, "itm": 1, "mlm": 1, "ifm": 1})
+    dm = MTDataModule(cfg)
+    batch = next(iter(dm.train_loader(batch_size=2)))
+    assert batch["image"].shape == (2, 3, 64, 64)
+    assert batch["image_target"].shape == (2, 3, 112, 112)
+    assert batch["image_masked_pos"].shape == (2, 16)  # (64/16)^2

@@ -1,0 +1,87 @@
+"""Evaluation harness tests: recall math, metric accumulation, the_metric."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vl_merging_tpu.evaluation import (
+    MetricAccumulator, retrieval_recall, the_metric,
+)
+from vl_merging_tpu.evaluation.downstream import nlvr2_split_update
+
+
+def test_retrieval_recall_perfect_and_shuffled():
+    """5 images, 2 captions each; perfectly aligned features → recall 1."""
+    n_img, caps = 5, 2
+    rng = np.random.RandomState(0)
+    img = rng.randn(n_img, 16).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt = np.repeat(img, caps, axis=0)  # each caption = its image's vector
+    iids = np.arange(n_img)
+    tiids = np.repeat(np.arange(n_img), caps)
+
+    out = retrieval_recall(jnp.asarray(img), jnp.asarray(txt), iids, tiids)
+    for k in ("ir_r1", "ir_r5", "tr_r1", "tr_r5", "tr_r10", "ir_r10"):
+        assert out[k] == 1.0, (k, out)
+
+    # adversarial: swap two images' text features → r1 drops, r5 recovers
+    txt_bad = txt.copy()
+    txt_bad[0:2], txt_bad[2:4] = txt[2:4].copy(), txt[0:2].copy()
+    out2 = retrieval_recall(jnp.asarray(img), jnp.asarray(txt_bad), iids, tiids)
+    assert out2["tr_r1"] < 1.0
+    assert out2["tr_r5"] == 1.0
+
+
+def test_recall_matches_reference_formula():
+    """Cross-check against a literal numpy transcription of the topk rule."""
+    rng = np.random.RandomState(1)
+    n_img, n_txt = 8, 20
+    img = rng.randn(n_img, 4).astype(np.float32)
+    txt = rng.randn(n_txt, 4).astype(np.float32)
+    iids = rng.randint(0, 6, n_img)
+    tiids = rng.randint(0, 6, n_txt)
+    scores = img @ txt.T
+
+    def np_ref():
+        out = {}
+        for k in (1, 5, 10):
+            idx = np.argsort(-scores, axis=1)[:, :k]
+            out[f"tr_r{k}"] = (tiids[idx] == iids[:, None]).max(1).mean()
+            idx = np.argsort(-scores, axis=0)[:k, :]
+            out[f"ir_r{k}"] = (iids[idx] == tiids[None, :]).max(0).mean()
+        return out
+
+    got = retrieval_recall(jnp.asarray(img), jnp.asarray(txt), iids, tiids)
+    want = np_ref()
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, atol=1e-6, err_msg=k)
+
+
+def test_metric_accumulator_and_the_metric():
+    acc = MetricAccumulator()
+    acc.update({"mlm_loss": 2.0, "mlm_correct": 8, "mlm_count": 10})
+    acc.update({"mlm_loss": 1.0, "mlm_correct": 9, "mlm_count": 10})
+    out = acc.compute()
+    assert out["mlm_accuracy"] == 17 / 20
+    assert out["mlm_loss"] == 1.5
+
+    acc.update({"vqa_score_sum": 3.0, "vqa_count": 4})
+    out = acc.compute()
+    assert out["vqa_score"] == 0.75
+
+    loss_names = {"mlm": 1, "vqa": 1, "itm": 0}
+    tm = the_metric(loss_names, out,
+                    recall={"ir_r1": 0.5, "tr_r1": 0.6})
+    assert abs(tm - (17 / 20 + 0.75 + 1.1)) < 1e-9
+
+
+def test_nlvr2_split():
+    acc = MetricAccumulator()
+    logits = np.array([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0], [0.0, 1.0]])
+    labels = np.array([0, 1, 1, 1])
+    tables = ["nlvr2_dev_0", "nlvr2_test1_0", "nlvr2_dev_0", "nlvr2_test1_0"]
+    nlvr2_split_update(acc, logits, labels, tables)
+    out = acc.compute()
+    assert out["dev_nlvr2_accuracy"] == 0.5   # [T, F]
+    assert out["test_nlvr2_accuracy"] == 1.0  # [T, T]
+    # the_metric picks dev accuracy for nlvr2
+    assert the_metric({"nlvr2": 1}, out) == 0.5

@@ -1,0 +1,195 @@
+"""Training-loop tests: schedule parity, param groups, sharded train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vl_merging_tpu.config import build_config
+from vl_merging_tpu.models import make_model_spec, init_params
+from vl_merging_tpu import parallel
+from vl_merging_tpu.train import (
+    make_optimizer, make_schedule, make_train_step, make_eval_step,
+    init_train_state, param_masks, active_tasks,
+)
+from vl_merging_tpu.train.schedule import polynomial_with_warmup, \
+    cosine_with_warmup
+
+
+def tiny_cfg(*modes, **over):
+    overrides = dict(
+        hidden_size=32, num_heads=2, num_layers=2, image_size=32,
+        patch_size=16, max_text_len=8, max_text_len_of_initckpt=16,
+        vlffn_start_layer_index=1, precision="f32", max_steps=100,
+        warmup_steps=10, tasks=None,
+    )
+    overrides.update(over)
+    return build_config(*modes, overrides=overrides)
+
+
+def make_batch(spec, bsz=8, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, spec.vocab_size, (bsz, spec.max_text_len))
+    labels = np.full((bsz, spec.max_text_len), -100)
+    mask_pos = rng.rand(bsz, spec.max_text_len) < 0.15
+    labels[mask_pos] = ids[mask_pos]
+    ids_mlm = ids.copy()
+    ids_mlm[mask_pos] = 103
+    return {
+        "text_ids": jnp.asarray(ids),
+        "text_ids_mlm": jnp.asarray(ids_mlm),
+        "text_labels": jnp.full((bsz, spec.max_text_len), -100, jnp.int32),
+        "text_labels_mlm": jnp.asarray(labels, dtype=jnp.int32),
+        "text_masks": jnp.ones((bsz, spec.max_text_len), jnp.int32),
+        "image": jnp.asarray(
+            rng.randn(bsz, 3, spec.image_size, spec.image_size)
+            .astype(np.float32)),
+    }
+
+
+def test_schedule_matches_transformers():
+    import torch
+    from transformers import (get_polynomial_decay_schedule_with_warmup,
+                              get_cosine_schedule_with_warmup)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-4)
+
+    sched = get_polynomial_decay_schedule_with_warmup(
+        opt, num_warmup_steps=10, num_training_steps=100, lr_end=1e-6,
+        power=1.0)
+    mine = polynomial_with_warmup(1e-4, 10, 100, end_lr=1e-6, power=1.0)
+    for step in [0, 1, 5, 10, 11, 50, 99, 100, 150]:
+        want = sched.lr_lambdas[0](step) * 1e-4
+        np.testing.assert_allclose(float(mine(step)), want, rtol=1e-5,
+                                   err_msg=f"poly step {step}")
+
+    sched = get_cosine_schedule_with_warmup(
+        opt, num_warmup_steps=10, num_training_steps=100)
+    mine = cosine_with_warmup(1e-4, 10, 100)
+    for step in [0, 5, 10, 30, 70, 99, 100]:
+        want = sched.lr_lambdas[0](step) * 1e-4
+        np.testing.assert_allclose(float(mine(step)), want, rtol=1e-5,
+                                   atol=1e-12, err_msg=f"cos step {step}")
+
+
+def test_param_masks_structure():
+    cfg = tiny_cfg(lr_mult=10, loss_names={"vqa": 1})
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 0)
+    masks = param_masks(params, cfg)
+    # LN / bias excluded from decay
+    assert not masks["decay_base"]["transformer.norm.weight"]
+    assert not masks["decay_base"]["transformer.blocks.0.attn.proj.bias"]
+    assert masks["decay_base"]["transformer.blocks.0.attn.qkv.weight"]
+    # head params flagged
+    assert masks["head"]["vqa_classifier.0.weight"]
+    assert not masks["head"]["transformer.blocks.0.mlp.fc1.weight"]
+    # head decay group: weights yes, its LN no
+    assert masks["decay_head"]["vqa_classifier.0.weight"]
+    assert not masks["decay_head"]["vqa_classifier.0.bias"]
+
+
+def test_train_step_pretrain_on_mesh():
+    """Full mlm+ifm+itm pretrain step over the 8-device CPU mesh."""
+    cfg = tiny_cfg("ufo", warmup_steps=0, learning_rate=5e-4)
+    spec = make_model_spec(cfg)
+    assert set(active_tasks(cfg)) == {"itm", "ifm", "mlm"}
+
+    mesh = parallel.make_mesh()
+    assert mesh.devices.size == 8
+    params = parallel.shard_params(init_params(spec, 0), mesh)
+    sched = make_schedule(cfg, cfg["max_steps"])
+    opt = make_optimizer(params, cfg, cfg["max_steps"], sched)
+    state = init_train_state(params, opt, seed=0)
+    step_fn = make_train_step(cfg, spec, opt, dp_scale=1 / 8, donate=False)
+
+    batch = parallel.shard_batch(make_batch(spec, bsz=16), mesh)
+    state2, metrics = step_fn(state, batch)
+    assert int(state2.step) == 1
+    for k in ("mlm_loss", "ifm_loss", "itm_loss", "total_loss", "grad_norm"):
+        v = float(metrics[k])
+        assert np.isfinite(v), k
+    # warmup gives lr=0 at step 0 (matches torch LambdaLR); params move
+    # from step 2 on
+    state3, _ = step_fn(state2, batch)
+    delta = float(jnp.abs(
+        state3.params["transformer.blocks.0.mlp.fc1.weight"]
+        - state.params["transformer.blocks.0.mlp.fc1.weight"]).max())
+    assert delta > 0
+
+    # loss decreases over a few steps on a fixed batch
+    losses = [float(metrics["total_loss"])]
+    for _ in range(6):
+        state3, metrics = step_fn(state3, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert min(losses[-2:]) < losses[0], losses
+
+
+def test_train_step_fsdp_sharding():
+    """ZeRO-style param sharding over an fsdp axis compiles and runs."""
+    cfg = tiny_cfg("ufo", use_sharded_training=True, hidden_size=128,
+                   num_heads=2)
+    spec = make_model_spec(cfg)
+    mesh = parallel.make_mesh(fsdp=4)
+    assert mesh.shape == {"data": 2, "fsdp": 4}
+    params = parallel.shard_params(init_params(spec, 0), mesh)
+    # big matrices sharded, small replicated
+    qkv = params["transformer.blocks.0.attn.qkv.weight"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec("fsdp", None)
+    sched = make_schedule(cfg, cfg["max_steps"])
+    opt = make_optimizer(params, cfg, cfg["max_steps"], sched)
+    state = init_train_state(params, opt)
+    step_fn = make_train_step(cfg, spec, opt, dp_scale=1 / 2, donate=False)
+    batch = parallel.shard_batch(make_batch(spec, bsz=8), mesh)
+    state2, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_grad_accumulation_equivalence():
+    """accum_steps=2 over half-batches ≈ one step over the same data."""
+    cfg = tiny_cfg(loss_names={"mlm": 1})
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 0)
+    sched = make_schedule(cfg, cfg["max_steps"])
+    opt = make_optimizer(params, cfg, cfg["max_steps"], sched)
+
+    batch = make_batch(spec, bsz=8)
+    stacked = jax.tree.map(
+        lambda x: x.reshape(2, 4, *x.shape[1:]), batch)
+
+    s1 = init_train_state(params, opt, seed=0)
+    step1 = make_train_step(cfg, spec, opt, donate=False)
+    s1b, m1 = step1(s1, batch)
+
+    s2 = init_train_state(params, opt, seed=0)
+    step2 = make_train_step(cfg, spec, opt, accum_steps=2, donate=False)
+    s2b, m2 = step2(s2, stacked)
+
+    # same data, same params → accumulated loss equals full-batch loss
+    # (mlm CE averages per-microbatch over valid tokens, so tiny diffs)
+    assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 0.05
+    d = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        s1b.params["transformer.blocks.0.mlp.fc1.weight"],
+        s2b.params["transformer.blocks.0.mlp.fc1.weight"])
+    assert d < 5e-4
+
+
+def test_vqa_nlvr2_imgcls_steps():
+    for mode_losses, extra in [
+        ({"vqa": 1}, {"vqa_targets": np.zeros((4, 3129), np.float32)}),
+        ({"nlvr2": 1}, {"answers": np.array([0, 1, 1, 0])}),
+        ({"img_cls": 1}, {"class_label": np.array([1, 2, 3, 4])}),
+    ]:
+        cfg = tiny_cfg(loss_names=mode_losses)
+        spec = make_model_spec(cfg)
+        params = init_params(spec, 0)
+        batch = make_batch(spec, bsz=4)
+        for k, v in extra.items():
+            batch[k] = jnp.asarray(v)
+        if "nlvr2" in mode_losses:
+            batch["image_0"] = batch["image"]
+            batch["image_1"] = jnp.flip(batch["image"], -1)
+        eval_fn = make_eval_step(cfg, spec)
+        metrics = eval_fn(params, batch, jax.random.PRNGKey(0))
+        name = list(mode_losses)[0]
+        assert np.isfinite(float(metrics[f"{name}_loss"])), metrics

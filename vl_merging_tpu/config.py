@@ -649,6 +649,8 @@ def build_config(*names: str, overrides: Optional[ConfigDict] = None) -> ConfigD
         cfg.update(copy.deepcopy(_NAMED_CONFIGS[name]()))
     if overrides:
         for k, v in overrides.items():
+            if k not in cfg:
+                raise KeyError(f"unknown config key {k!r}")
             if k == "loss_names" and isinstance(v, dict):
                 v = _loss_names(v)
             cfg[k] = v

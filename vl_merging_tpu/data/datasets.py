@@ -1,0 +1,235 @@
+"""Concrete dataset classes over the reference's arrow schemas.
+
+Mirrors src/vilt/datasets/* (coco/f30k karpathy, sbu, gcc, vg, vqav2,
+nlvr2, imagenet1k) plus HF-disk text datasets (wikipedia/bookcorpus).
+Each returns the reference's per-sample dict shape so the shared collate
+produces identical batch keys.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List
+
+import numpy as np
+
+from .arrow_dataset import ArrowDataset
+
+
+class CocoCaptionKarpathyDataset(ArrowDataset):
+    """reference: coco_caption_karpathy_dataset.py:1-29."""
+
+    def __init__(self, *args, split: str = "", **kwargs):
+        assert split in ("train", "val", "test")
+        self.split = split
+        names = {
+            "train": ["coco_caption_karpathy_train"],
+            "val": ["coco_caption_karpathy_val"],
+            "test": ["coco_caption_karpathy_test"],
+        }[split]
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+    def __getitem__(self, index: int) -> Dict:
+        suite = self.get_suite(index)
+        if "test" in self.split:
+            row, _ = self.index_mapper[index]
+            iid = self.table["image_id"][row].as_py()
+            suite["iid"] = int(iid.split(".")[0].split("_")[-1])
+        return suite
+
+
+class F30KCaptionKarpathyDataset(ArrowDataset):
+    """reference: f30k_caption_karpathy_dataset.py:1-20 (val == test table)."""
+
+    def __init__(self, *args, split: str = "", **kwargs):
+        assert split in ("train", "val", "test")
+        names = {
+            "train": ["f30k_caption_karpathy_train"],
+            "val": ["f30k_caption_karpathy_test"],
+            "test": ["f30k_caption_karpathy_test"],
+        }[split]
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+
+class SBUCaptionDataset(ArrowDataset):
+    def __init__(self, *args, split: str = "", **kwargs):
+        names = [f"sbu_{i}" for i in range(9)] if split == "train" else []
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+
+class ConceptualCaptionDataset(ArrowDataset):
+    def __init__(self, *args, split: str = "", **kwargs):
+        if split == "train":
+            names = [f"conceptual_caption_train_{i}" for i in range(30)]
+        else:
+            names = ["conceptual_caption_val_0"]
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+
+class VisualGenomeCaptionDataset(ArrowDataset):
+    def __init__(self, *args, split: str = "", **kwargs):
+        names = ["vg"] if split == "train" else []
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+
+class VQAv2Dataset(ArrowDataset):
+    """reference: vqav2_dataset.py:1-55; emits qid + dense-able answer
+    labels/scores."""
+
+    def __init__(self, *args, split: str = "", label_size: int = 3129,
+                 **kwargs):
+        assert split in ("train", "val", "test")
+        self.split = split
+        self.label_size = label_size
+        names = {
+            "train": ["vqav2_train", "vqav2_trainable_val"],
+            "val": ["vqav2_rest_val"],
+            "test": ["vqav2_test"],
+        }[split]
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="questions",
+                         remove_duplicate=False)
+
+    def __getitem__(self, index: int) -> Dict:
+        image_out = self.get_image(index)
+        text = self.get_text(index)
+        row, qidx = self.index_mapper[index]
+        qid = self.table["question_id"][row][qidx].as_py()
+        if self.split != "test":
+            labels = self.table["answer_labels"][row][qidx].as_py() or []
+            scores = self.table["answer_scores"][row][qidx].as_py() or []
+        else:
+            labels, scores = [], []
+        targets = np.zeros(self.label_size, np.float32)
+        for l, s in zip(labels, scores):
+            targets[l] = s
+        ret = {
+            "image": image_out["image"],
+            "text": text["text"],
+            "encoding": text["encoding"],
+            "vqa_targets": targets,
+            "vqa_labels": labels,
+            "vqa_scores": scores,
+            "qid": qid,
+        }
+        if self.use_mim_transform:
+            ret["image_target"] = image_out["image_target"]
+            ret["image_masked_pos"] = image_out["image_masked_pos"]
+        return ret
+
+
+class NLVR2Dataset(ArrowDataset):
+    """reference: nlvr2_dataset.py:1-52 (paired images, boolean answers,
+    dev/test via table_name)."""
+
+    def __init__(self, *args, split: str = "", **kwargs):
+        assert split in ("train", "val", "test")
+        names = {
+            "train": ["nlvr2_train"],
+            "val": ["nlvr2_dev", "nlvr2_test1"],
+            "test": ["nlvr2_dev", "nlvr2_test1"],
+        }[split]
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="questions",
+                         remove_duplicate=False)
+
+    def __getitem__(self, index: int) -> Dict:
+        for attempt in range(32):
+            rng = random.Random(hash((index, attempt)) & 0xFFFFFFFF)
+            try:
+                img0 = self.get_image(index, image_key="image_0")["image_0"]
+                img1 = self.get_image(index, image_key="image_1")["image_1"]
+                text = self.get_text(index)
+                break
+            except Exception as e:
+                print(f"error reading nlvr2 idx {index} -> {e}")
+                index = rng.randint(0, len(self.index_mapper) - 1)
+        row, qidx = self.index_mapper[index]
+        answers = self.table["answers"][row][qidx].as_py() == "True"
+        return {
+            "image_0": img0,
+            "image_1": img1,
+            "text": text["text"],
+            "encoding": text["encoding"],
+            "answers": int(answers),
+            "table_name": self.table_names[row],
+        }
+
+
+class ImageNet1kDataset(ArrowDataset):
+    """Image classification rows: image bytes + integer class_label
+    (reference imagenet1k_dataset.py:8-152, arrow-backed variant)."""
+
+    def __init__(self, *args, split: str = "", **kwargs):
+        names = [f"imagenet1k_{split or 'train'}"]
+        super().__init__(*args, **kwargs, names=names, image_only=True)
+
+    def __getitem__(self, index: int) -> Dict:
+        ret = self.get_image(index)
+        row, _ = self.index_mapper[index]
+        ret["class_label"] = int(self.table["label"][row].as_py())
+        ret["image"] = ret.pop("image")
+        return ret
+
+
+class TextOnlyDataset:
+    """Text-only corpus (wikipedia/bookcorpus via HF load_from_disk, or a
+    plain text file) for text_only_mlm
+    (reference: huggingface_dataset.py:12-153)."""
+
+    def __init__(self, data_dir: str, max_text_len: int = 196,
+                 tokenizer=None, text_file: str = "", **_):
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        if text_file:
+            with open(text_file) as f:
+                self.texts = [l.strip() for l in f if l.strip()]
+        else:
+            import datasets as hf_datasets
+
+            self.ds = hf_datasets.load_from_disk(data_dir)
+            self.texts = None
+
+    def __len__(self):
+        return len(self.texts) if self.texts is not None else len(self.ds)
+
+    def __getitem__(self, index: int) -> Dict:
+        text = (self.texts[index] if self.texts is not None
+                else self.ds[index]["text"])
+        enc = self.tokenizer.encode(text, max_length=self.max_text_len)
+        return {"text": text, "encoding": enc}
+
+    def collate(self, batch: List[Dict], mlm_collator) -> Dict:
+        m = mlm_collator([b["encoding"] for b in batch],
+                         max_length=self.max_text_len)
+        return {
+            "text_ids": m["input_ids"],
+            "text_labels": np.full_like(m["input_ids"], -100),
+            "text_ids_mlm": m["mlm_input_ids"],
+            "text_labels_mlm": m["mlm_labels"],
+            "text_masks": m["attention_mask"],
+            "text": [b["text"] for b in batch],
+        }
+
+
+_DATASETS = {
+    "coco": CocoCaptionKarpathyDataset,
+    "f30k": F30KCaptionKarpathyDataset,
+    "sbu": SBUCaptionDataset,
+    "gcc": ConceptualCaptionDataset,
+    "vg": VisualGenomeCaptionDataset,
+    "vqa": VQAv2Dataset,
+    "nlvr2": NLVR2Dataset,
+    "imagenet1k": ImageNet1kDataset,
+    "wikipedia": TextOnlyDataset,
+    "bookcorpus": TextOnlyDataset,
+}
+
+
+def dataset_class(name: str):
+    return _DATASETS[name]

@@ -1,0 +1,80 @@
+"""Downstream eval plumbing: VQA submission writer, NLVR2 dev/test split.
+
+reference: src/vilt/modules/objectives.py:724-769 (vqa submission, with
+per-rank json + barrier + rank-0 merge) and :543-567 (nlvr2 table_name
+split).  Multi-host file assembly uses process_allgather instead of
+barrier+glob.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Sequence
+
+import jax
+import numpy as np
+
+from ..models import model
+from ..models.spec import ModelSpec, Params
+
+
+def make_vqa_logits_fn(spec: ModelSpec):
+    @jax.jit
+    def fn(params, batch):
+        out = model.infer(params, spec, batch)
+        return model.vqa_head(params, out["cls_feats"])
+    return fn
+
+
+def vqa_predictions(
+    params: Params, spec: ModelSpec, batches: Iterable[Dict],
+    id2answer: Dict[int, str],
+) -> List[Dict]:
+    """Per-question {"question_id", "answer"} records
+    (objectives.py:724-735)."""
+    fn = make_vqa_logits_fn(spec)
+    rets = []
+    for b in batches:
+        feed = {k: v for k, v in b.items()
+                if k in ("text_ids", "text_masks", "image")}
+        preds = np.asarray(jax.numpy.argmax(fn(params, feed), axis=-1))
+        for qid, pred in zip(b["qid"], preds):
+            rets.append({"question_id": qid, "answer": id2answer[int(pred)]})
+    return rets
+
+
+def write_vqa_submission(
+    rets: List[Dict], model_name: str, output_dir: str,
+) -> str:
+    """Assemble the submission json; on multi-host, gather all processes'
+    records and write once from process 0 (objectives.py:742-769)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(rets)
+        if jax.process_index() != 0:
+            return ""
+        all_rets = [r for chunk in gathered for r in chunk]
+    else:
+        all_rets = rets
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"vqa_submit_{model_name}.json")
+    with open(path, "w") as fp:
+        json.dump(all_rets, fp, indent=4)
+    return path
+
+
+def nlvr2_split_update(
+    accumulator, logits: np.ndarray, labels: np.ndarray,
+    table_names: Sequence[str],
+) -> None:
+    """Split per-sample accuracy into dev/test by table_name
+    (objectives.py:543-567)."""
+    correct = (np.argmax(logits, -1) == labels)
+    for split in ("dev", "test"):
+        idx = [i for i, n in enumerate(table_names) if split in n]
+        if idx:
+            accumulator.update({
+                f"{split}_nlvr2_correct": float(correct[idx].sum()),
+                f"{split}_nlvr2_count": float(len(idx)),
+            })

@@ -78,7 +78,7 @@ def text_image_relative_position_index(
         max_text_len, max_text_len_of_initckpt, window)
     i_index = image_relative_position_index(window)
 
-    t = max_text_len if vl_text_len is None else vl_text_len
+    t = max_text_len if vl_text_len is None else min(vl_text_len, max_text_len)
     t2i = np.full((t, max_imag_len), num_relative_distance, dtype=np.int64)
     i2t = np.full((max_imag_len, t), num_relative_distance + 1, dtype=np.int64)
 
