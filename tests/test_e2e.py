@@ -1,0 +1,97 @@
+"""End-to-end CLI tests on synthetic arrow fixtures (ViT-tiny scale).
+
+The JAX-native analogue of the reference's `task_test_vit_tiny_*` fast
+checks (reference config.py:535-608) — full train/val/test through the
+real entry point over the 8-device CPU mesh.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_fixture_root
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return make_fixture_root(tmp_path_factory.mktemp("arrow"))
+
+
+def cli_args(root, log_dir, *names, **over):
+    args = list(names)
+    overrides = dict(
+        data_root=root, log_dir=log_dir,
+        tokenizer=os.path.join(root, "vocab.txt"),
+        hidden_size=32, num_heads=2, num_layers=2, image_size=64,
+        patch_size=16, max_text_len=16, max_text_len_of_initckpt=16,
+        vlffn_start_layer_index=1, precision="f32",
+        per_device_batch_size=1, batch_size=8, num_workers=2,
+        max_steps=2, warmup_steps=0, tasks=None, max_vl_text_len=None,
+    )
+    overrides.update(over)
+    for k, v in overrides.items():
+        args.append(f"{k}={v!r}" if isinstance(v, str) else f"{k}={v}")
+    return args
+
+
+def test_fit_pretrain_e2e(root, tmp_path):
+    from vl_merging_tpu.run import main
+
+    log_dir = str(tmp_path / "logs")
+    main(cli_args(root, log_dir, datasets=["f30k"],
+                  loss_names={"itm": 1, "mlm": 1, "ifm": 1}))
+    # checkpoints written
+    exp_dirs = os.listdir(log_dir)
+    assert exp_dirs
+    ckpt = os.path.join(log_dir, exp_dirs[0], "checkpoints", "last",
+                        "weights.ckpt")
+    assert os.path.exists(ckpt)
+    # metrics logged
+    mpath = os.path.join(log_dir, exp_dirs[0], "metrics.jsonl")
+    lines = [json.loads(l) for l in open(mpath)]
+    assert any("val/the_metric" in l for l in lines)
+
+
+def test_validate_only_irtr_recall(root, tmp_path):
+    from vl_merging_tpu.run import main
+
+    log_dir = str(tmp_path / "logs")
+    main(cli_args(root, log_dir, datasets=["f30k"],
+                  loss_names={"irtr": 1}, get_recall_metric=True,
+                  validation_only=True))
+
+
+def test_nlvr2_fit(root, tmp_path):
+    from vl_merging_tpu.run import main
+
+    main(cli_args(root, str(tmp_path / "logs"), datasets=["nlvr2"],
+                  loss_names={"nlvr2": 1}))
+
+
+def test_gram_cache_cli(root, tmp_path):
+    """Gram caching over an all_moe model; keys match reference naming."""
+    from vl_merging_tpu.cache_gram_matrices import main
+
+    log_dir = str(tmp_path / "gram")
+    # ifm exercises all three expert paths (v, l towers + vlffn rerun), so
+    # deep layers accumulate vl grams too; with irtr-only the vl experts
+    # never fire and their grams are absent (same as the reference hooks)
+    main(cli_args(root, log_dir, "all_moe", datasets=["f30k"],
+                  loss_names={"ifm": 1},
+                  representation_name="G"))
+    import torch
+    grams = torch.load(os.path.join(log_dir, "G.pth"), weights_only=False)
+    keys = set(grams.keys())
+    assert "transformer.blocks.0.attn.v" in keys
+    assert "transformer.blocks.0.attn.v.proj" in keys
+    assert "transformer.blocks.0.mlp.l.fc1" in keys
+    assert "transformer.blocks.1.mlp.vl.fc2" in keys  # deep layer
+    g = grams["transformer.blocks.0.mlp.v.fc1"]
+    assert g.dtype == torch.float64
+    assert g.shape == (32, 32)
+    # gram is PSD-symmetric
+    gn = g.numpy()
+    np.testing.assert_allclose(gn, gn.T, rtol=1e-9)
+    assert np.linalg.eigvalsh(gn).min() > -1e-6

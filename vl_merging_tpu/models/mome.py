@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .layers import drop_path, gelu, layer_norm, linear
 from .spec import BlockSpec, ModelSpec, Params, V, L, VL
+from .taps import tap_add
 
 LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6); vision_transformer.py:831
 
@@ -40,6 +41,7 @@ def attention(
     Returns (out (B,N,C), attn probs (B,heads,N,N) in x.dtype).
     reference: vision_transformer.py:329-363.
     """
+    tap_add(prefix, x)  # gram tap: attention-module input (post-LN)
     B, N, C = x.shape
     head_dim = C // num_heads
     scale = head_dim ** -0.5
@@ -71,6 +73,7 @@ def attention(
         preferred_element_type=x.dtype,
     )                                                # B, H, N, hd
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+    tap_add(f"{prefix}.proj", out)  # gram tap: proj input (attn context)
     out = linear(out, params[f"{prefix}.proj.weight"],
                  params[f"{prefix}.proj.bias"], dtype=x.dtype)
     return out, attn
@@ -78,8 +81,10 @@ def attention(
 
 def mlp(params: Params, prefix: str, x: jax.Array) -> jax.Array:
     """fc1 → GELU → fc2 (dropout rate is 0 in all reference configs)."""
+    tap_add(f"{prefix}.fc1", x)
     h = gelu(linear(x, params[f"{prefix}.fc1.weight"],
                     params[f"{prefix}.fc1.bias"], dtype=x.dtype))
+    tap_add(f"{prefix}.fc2", h)
     return linear(h, params[f"{prefix}.fc2.weight"],
                   params[f"{prefix}.fc2.bias"], dtype=x.dtype)
 
@@ -88,6 +93,7 @@ _TASK_OF_TYPE = {V: "v", L: "l", VL: "vl"}
 
 
 def _ln(params: Params, p: str, name: str, x: jax.Array) -> jax.Array:
+    tap_add(f"{p}.{name}", x)  # gram tap: norm input (ufo RegMean path)
     return layer_norm(x, params[f"{p}.{name}.weight"],
                       params[f"{p}.{name}.bias"], eps=LN_EPS)
 

@@ -1,0 +1,349 @@
+"""Training orchestration: the fit/validate/test loops.
+
+Replaces the reference's pl.Trainer wiring (reference: src/run.py:141-295)
+with an explicit loop: sharded device batches, one pjit-compiled train
+step, periodic validation with the_metric checkpoint selection
+(save_top_k=1 + last, reference run.py:189-195), gradient accumulation
+derived from the global batch size (run.py:210-212), resume support, and
+JSONL + optional TensorBoard logging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckpt import io as ckpt_io
+from ..ckpt.pipeline import load_params
+from ..evaluation import (MetricAccumulator, compute_irtr_recall, the_metric,
+                          vqa_predictions, write_vqa_submission)
+from ..evaluation.downstream import nlvr2_split_update
+from ..models import make_model_spec, model
+from ..models.spec import ModelSpec
+from .. import parallel
+from . import train_step as ts
+from .optimizer import make_optimizer
+from .schedule import make_schedule
+
+ARRAY_KEYS_EXCLUDED = ("text", "qid", "vqa_labels", "vqa_scores",
+                       "vqa_answer", "table_name", "iid", "img_index",
+                       "cap_index", "raw_index", "replica")
+
+
+def device_feed(batch: Dict, mesh=None) -> Dict:
+    """Numeric arrays → (sharded) device arrays; python payloads dropped."""
+    feed = {}
+    for k, v in batch.items():
+        if k in ARRAY_KEYS_EXCLUDED:
+            continue
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            feed[k] = jnp.asarray(v)
+    if mesh is not None:
+        feed = parallel.shard_batch(feed, mesh)
+    return feed
+
+
+class JsonlLogger:
+    def __init__(self, log_dir: str, name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self._fh = open(self.path, "a")
+        self._tb = None
+        try:  # optional TensorBoard (reference run.py:196-199)
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb", name))
+        except Exception:
+            pass
+
+    def log(self, step: int, scalars: Dict[str, float]) -> None:
+        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+
+
+class Trainer:
+    def __init__(self, cfg: Dict, mim_label_fn=None):
+        self.cfg = cfg
+        self.spec: ModelSpec = make_model_spec(cfg)
+        parallel.initialize_multihost()
+        fsdp = 2 if (cfg["use_sharded_training"]
+                     and jax.device_count() % 2 == 0) else 1
+        self.mesh = parallel.make_mesh(num_devices=cfg["num_devices"],
+                                       fsdp=fsdp)
+        self.mim_label_fn = mim_label_fn
+
+        params, missing, unexpected = load_params(cfg, self.spec)
+        if missing:
+            print(f"missing_keys: {missing}")
+        if unexpected:
+            print(f"unexpected_keys: {unexpected}")
+        self.params = parallel.shard_params(params, self.mesh)
+
+        per_dev = cfg["per_device_batch_size"] or cfg["batch_size"]
+        self.local_batch = per_dev * self.mesh.devices.size
+        self.accum_steps = max(
+            1, cfg["batch_size"] // (per_dev * jax.device_count()))
+
+        self.eval_fn = ts.make_eval_step(cfg, self.spec,
+                                         mim_label_fn=self.mim_label_fn)
+
+        self.exp_name = (f'{cfg["exp_name"]}_seed{cfg["seed"]}'
+                         f'_from_{os.path.basename(cfg["load_path"])[:-5]}'
+                         if cfg["load_path"] else
+                         f'{cfg["exp_name"]}_seed{cfg["seed"]}')
+        self.log_dir = os.path.join(cfg["log_dir"], self.exp_name)
+        self.logger = JsonlLogger(self.log_dir, "metrics")
+        self.best_metric = -float("inf")
+
+    # -- loop construction -------------------------------------------------
+    def _resolve_max_steps(self, steps_per_epoch: int) -> int:
+        cfg = self.cfg
+        if cfg["max_steps"] is not None:
+            return cfg["max_steps"]
+        return (steps_per_epoch * cfg["max_epoch"]) // self.accum_steps
+
+    def _build_step(self, max_steps: int):
+        cfg = self.cfg
+        sched = make_schedule(cfg, max_steps)
+        self.optimizer = make_optimizer(self.params, cfg, max_steps, sched)
+        self.state = ts.init_train_state(self.params, self.optimizer,
+                                         seed=cfg["seed"])
+        dp_scale = 1.0 / jax.device_count()
+        self.step_fn = ts.make_train_step(
+            cfg, self.spec, self.optimizer, dp_scale=dp_scale,
+            accum_steps=self.accum_steps, mim_label_fn=self.mim_label_fn)
+
+    # -- fit ----------------------------------------------------------------
+    def fit(self, datamodule) -> None:
+        cfg = self.cfg
+        train_loader = datamodule.train_loader(self.local_batch)
+        steps_per_epoch = max(1, int(len(train_loader) *
+                                     cfg["limit_train_batches"]))
+        max_steps = self._resolve_max_steps(steps_per_epoch)
+        self._build_step(max_steps)
+        self._maybe_resume()
+
+        step = int(self.state.step)
+        t_last = time.time()
+        train_metrics = MetricAccumulator()
+        epoch = 0
+        done = False
+        while not done and epoch < cfg["max_epoch"] * 10:
+            if hasattr(train_loader, "batch_sampler"):
+                train_loader.batch_sampler.set_epoch(epoch)
+            micro_buf = []
+            for i, batch in enumerate(train_loader):
+                if i >= steps_per_epoch * self.accum_steps:
+                    break
+                if cfg["fast_dev_run"] and step >= 1:
+                    done = True
+                    break
+                micro_buf.append(batch)
+                if len(micro_buf) < self.accum_steps:
+                    continue
+                feed = self._stack_micro(micro_buf)
+                micro_buf = []
+
+                self.state, metrics = self.step_fn(self.state, feed)
+                step += 1
+                train_metrics.update(
+                    {k: v for k, v in metrics.items()})
+
+                if step % 10 == 0:
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars["steps_per_sec"] = 10 / dt
+                    self.logger.log(step, scalars)
+                    print(f"step {step}/{max_steps} "
+                          f"loss={scalars.get('total_loss', 0):.4f} "
+                          f"({scalars['steps_per_sec']:.2f} it/s)")
+
+                if step >= max_steps:
+                    done = True
+                    break
+                if cfg["val_check_interval"] != 1.0 and isinstance(
+                        cfg["val_check_interval"], int) and \
+                        step % cfg["val_check_interval"] == 0:
+                    self._validate_and_checkpoint(datamodule, step)
+            epoch += 1
+            if not done or cfg["fast_dev_run"]:
+                self._wrapup_train_epoch(train_metrics, step)
+                self._validate_and_checkpoint(datamodule, step)
+        self._validate_and_checkpoint(datamodule, step, final=True)
+
+    def _stack_micro(self, micro_buf):
+        if self.accum_steps == 1:
+            return device_feed(micro_buf[0], self.mesh)
+        feeds = [device_feed(b, None) for b in micro_buf]
+        stacked = {k: jnp.stack([f[k] for f in feeds]) for k in feeds[0]}
+        return stacked
+
+    def _wrapup_train_epoch(self, acc: MetricAccumulator, step: int) -> None:
+        computed = acc.compute()
+        if computed:
+            self.logger.log(step, {f"train/{k}": v
+                                   for k, v in computed.items()
+                                   if v is not None})
+        acc.reset()
+
+    # -- validation ----------------------------------------------------------
+    def _validate_and_checkpoint(self, datamodule, step: int,
+                                 final: bool = False) -> None:
+        metrics = self.validate(datamodule)
+        tm = metrics.get("val/the_metric", 0.0)
+        self.logger.log(step, metrics)
+        self._save_checkpoint("last")
+        if tm >= self.best_metric:
+            self.best_metric = tm
+            self._save_checkpoint("best")
+
+    def validate(self, datamodule) -> Dict[str, float]:
+        cfg = self.cfg
+        try:
+            loader = datamodule.val_loader(self.local_batch)
+        except FileNotFoundError:
+            return {}
+        acc = MetricAccumulator()
+        rng = jax.random.PRNGKey(0)
+        limit = (int(len(loader) * cfg["limit_val_batches"])
+                 if cfg["limit_val_batches"] != 1.0 else None)
+        params = self.state.params if hasattr(self, "state") else self.params
+        for i, batch in enumerate(loader):
+            if limit is not None and i >= limit:
+                break
+            feed = device_feed(batch, self.mesh)
+            rng, key = jax.random.split(rng)
+            metrics = self.eval_fn(params, feed, key)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            if "table_name" in batch and "nlvr2_loss" in metrics:
+                logits_fn = self._nlvr2_logits_fn()
+                logits = np.asarray(logits_fn(params, feed))
+                nlvr2_split_update(acc, logits,
+                                   np.asarray(batch["answers"]),
+                                   batch["table_name"])
+            acc.update(metrics)
+
+        computed = acc.compute()
+        recall = None
+        if cfg["get_recall_metric"]:
+            recall = self.recall(datamodule, split="test")
+            computed.update(recall)
+        tm = the_metric(cfg["loss_names"], computed, recall)
+        out = {f"val/{k}": v for k, v in computed.items() if v is not None}
+        out["val/the_metric"] = tm
+        return out
+
+    def _nlvr2_logits_fn(self):
+        if not hasattr(self, "_nlvr2_fn"):
+            spec = self.spec
+
+            @jax.jit
+            def fn(params, batch):
+                i1 = model.infer(params, spec, batch, image_token_type_idx=1)
+                i2 = model.infer(params, spec, batch, image_token_type_idx=2)
+                cls = jnp.concatenate(
+                    [i1["cls_feats"], i2["cls_feats"]], axis=-1)
+                return model.nlvr2_head(params, cls)
+            self._nlvr2_fn = fn
+        return self._nlvr2_fn
+
+    # -- retrieval recall ----------------------------------------------------
+    def recall(self, datamodule, split: str = "test") -> Dict[str, float]:
+        dm = datamodule.dms[0]
+        make = (dm.make_no_false_val_dset if split == "val"
+                else dm.make_no_false_test_dset)
+        text_dset = make()
+        image_dset = make(image_only=True)
+        params = self.state.params if hasattr(self, "state") else self.params
+
+        text_batches, tiids = [], []
+        bs = 256
+        for start in range(0, len(text_dset), bs):
+            idx = range(start, min(start + bs, len(text_dset)))
+            samples = [text_dset[i] for i in idx]
+            b = text_dset.collate(samples, dm.mlm_collator)
+            text_batches.append(device_feed(b))
+            tiids += list(b["img_index"])
+        image_batches, iids = [], []
+        for start in range(0, len(image_dset), bs):
+            idx = range(start, min(start + bs, len(image_dset)))
+            samples = [image_dset[i] for i in idx]
+            b = image_dset.collate(samples, dm.mlm_collator)
+            image_batches.append(device_feed(b))
+            iids += list(b["img_index"])
+
+        out = compute_irtr_recall(
+            params, self.spec, text_batches, image_batches,
+            np.asarray(tiids), np.asarray(iids))
+        return out
+
+    # -- test ----------------------------------------------------------------
+    def test(self, datamodule) -> Dict[str, float]:
+        cfg = self.cfg
+        params = self.state.params if hasattr(self, "state") else self.params
+        results: Dict[str, float] = {}
+        if cfg["loss_names"]["vqa"] > 0:
+            loader = datamodule.test_loader(self.local_batch)
+            id2answer = getattr(datamodule.dms[0], "id2answer", None)
+            batches = []
+            for batch in loader:
+                feed = device_feed(batch)
+                feed["qid"] = batch["qid"]
+                batches.append(feed)
+            if id2answer is not None:
+                rets = vqa_predictions(params, self.spec, batches, id2answer)
+                model_name = os.path.basename(cfg["load_path"])[:-5] \
+                    if cfg["load_path"] else self.exp_name
+                path = write_vqa_submission(rets, model_name, self.log_dir)
+                print(f"vqa submission: {path}")
+        results.update(self.validate(datamodule))
+        return results
+
+    # -- checkpointing -------------------------------------------------------
+    def _ckpt_dir(self, tag: str) -> str:
+        return os.path.join(self.log_dir, "checkpoints", tag)
+
+    def _save_checkpoint(self, tag: str) -> None:
+        if jax.process_index() != 0:
+            return
+        sd = ckpt_io.params_to_state_dict(self.state.params)
+        os.makedirs(self._ckpt_dir(tag), exist_ok=True)
+        ckpt_io.save_torch_checkpoint(
+            sd, os.path.join(self._ckpt_dir(tag), "weights.ckpt"))
+        with open(os.path.join(self._ckpt_dir(tag), "meta.json"), "w") as f:
+            json.dump({"step": int(self.state.step),
+                       "best_metric": self.best_metric}, f)
+
+    def _maybe_resume(self) -> None:
+        cfg = self.cfg
+        path = None
+        if cfg["resume_from"]:
+            path = cfg["resume_from"]
+        elif cfg["resume_during_pretraining"]:
+            cand = os.path.join(self._ckpt_dir("last"), "weights.ckpt")
+            if os.path.exists(cand):
+                path = cand
+        if path:
+            sd = ckpt_io.load_torch_checkpoint(path)
+            loaded, missing, _ = ckpt_io.state_dict_to_params(sd, self.spec)
+            params = dict(self.state.params)
+            params.update(parallel.shard_params(loaded, self.mesh))
+            meta_path = os.path.join(os.path.dirname(path), "meta.json")
+            step = 0
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    step = json.load(f).get("step", 0)
+            self.state = ts.TrainState(
+                params=params, opt_state=self.state.opt_state,
+                step=jnp.asarray(step, jnp.int32), rng=self.state.rng)
+            print(f"resumed from {path} at step {step}")
