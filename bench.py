@@ -45,6 +45,10 @@ def main() -> None:
     spec = make_model_spec(cfg)
     params = init_params(spec, seed=0)
 
+    # NOTE: the rel-pos bias gather stays INSIDE the jit — XLA fuses it
+    # into the attention consumers and never materializes the (L,H,N,N)
+    # bias in HBM; hoisting it out as an input measured 1.4x slower on the
+    # bandwidth-limited dev chip (368 vs 522 img/s).
     @jax.jit
     def image_tower(p, image):
         return model.infer_image_ft(p, spec, {"image": image})["cls_feats"]

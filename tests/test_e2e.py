@@ -94,4 +94,5 @@ def test_gram_cache_cli(root, tmp_path):
     # gram is PSD-symmetric
     gn = g.numpy()
     np.testing.assert_allclose(gn, gn.T, rtol=1e-9)
-    assert np.linalg.eigvalsh(gn).min() > -1e-6
+    # device grams accumulate in f32 → eigenvalues PSD up to f32 rounding
+    assert np.linalg.eigvalsh(gn).min() > -1e-4 * np.abs(gn).max()

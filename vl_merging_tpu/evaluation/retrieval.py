@@ -27,6 +27,8 @@ from ..models.spec import ModelSpec, Params
 
 
 def make_text_feature_fn(spec: ModelSpec):
+    # the rel-pos bias gather stays inside the jit: XLA fuses it into the
+    # attention consumers (hoisting it measured 1.4x slower; see bench.py)
     @jax.jit
     def fn(params, text_ids, text_masks):
         out = model.infer_text_ft(

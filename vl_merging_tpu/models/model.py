@@ -106,6 +106,21 @@ def _drop_path_rates(spec: ModelSpec):
             for i in range(spec.num_layers)]
 
 
+def precompute_bias(params: Params, spec: ModelSpec, kind: str,
+                    true_length: Optional[int] = None) -> jax.Array:
+    """Per-layer rel-pos bias (L, H, N, N), input-independent.
+
+    Eval loops should compute this once and pass it via ``rel_bias`` to
+    the infer functions: the table gather + transpose costs ~10 ms per
+    call at N=640 on v5e and is pure overhead per batch otherwise."""
+    index = {"fused": lambda: relpos.fused_index(spec),
+             "text": lambda: relpos.text_index(spec, true_length),
+             "image": lambda: relpos.image_index(spec)}[kind]()
+    return relpos.per_layer_bias(
+        params["relative_position_bias_table"], index,
+        spec.num_layers, spec.num_heads)
+
+
 # --------------------------------------------------------------------------
 # Inference paths
 # --------------------------------------------------------------------------
@@ -116,6 +131,7 @@ def infer(
     bool_masked_pos: Optional[jax.Array] = None,
     image_token_type_idx: int = 1,
     image: Optional[jax.Array] = None,
+    rel_bias: Optional[jax.Array] = None,
     train: bool = False, rng: Optional[jax.Array] = None,
 ) -> Dict[str, Optional[jax.Array]]:
     """Fused VL pass, type_id=2 (vilt_module.py:1071-1156)."""
@@ -141,9 +157,8 @@ def infer(
     co_masks = jnp.concatenate([text_masks.astype(jnp.int32), image_masks],
                                axis=1)
 
-    bias = relpos.per_layer_bias(
-        params["relative_position_bias_table"], relpos.fused_index(spec),
-        spec.num_layers, spec.num_heads)
+    bias = rel_bias if rel_bias is not None else precompute_bias(
+        params, spec, "fused")
     dprates = _drop_path_rates(spec)
 
     for i, b in enumerate(spec.blocks):
@@ -169,7 +184,7 @@ def infer(
 
 def _text_trunk(
     params: Params, spec: ModelSpec, batch, mask_text, train, rng,
-    *, vlffn_rerun: bool,
+    *, vlffn_rerun: bool, rel_bias: Optional[jax.Array] = None,
 ):
     """Shared body of infer_text / infer_text_ft (vilt_module.py:1159-1285)."""
     do_mlm = "_mlm" if mask_text else ""
@@ -182,10 +197,8 @@ def _text_trunk(
     x = x + _token_type(params, 0, x, x.dtype)
 
     true_length = text_ids.shape[1] if spec.max_vl_text_len is not None else None
-    bias = relpos.per_layer_bias(
-        params["relative_position_bias_table"],
-        relpos.text_index(spec, true_length),
-        spec.num_layers, spec.num_heads)
+    bias = rel_bias if rel_bias is not None else precompute_bias(
+        params, spec, "text", true_length)
     dprates = _drop_path_rates(spec)
 
     hidden = []
@@ -231,10 +244,11 @@ def infer_text(params, spec, batch, *, mask_text=False, train=False, rng=None):
 
 
 def infer_text_ft(params, spec, batch, *, mask_text=False, train=False,
-                  rng=None):
+                  rng=None, rel_bias=None):
     """Single-branch text pass (vilt_module.py:1226-1285)."""
     hidden, _, text_ids, text_labels, text_masks = _text_trunk(
-        params, spec, batch, mask_text, train, rng, vlffn_rerun=False)
+        params, spec, batch, mask_text, train, rng, vlffn_rerun=False,
+        rel_bias=rel_bias)
     lffn = _final_norm(params, hidden[-1])
     if "ifm_text_proj.fc.weight" in params:
         cls_feats = _l2norm(
@@ -257,6 +271,7 @@ def _image_trunk(
     params: Params, spec: ModelSpec, batch, image_token_type_idx,
     bool_masked_pos, train, rng, *, vlffn_rerun: bool,
     image: Optional[jax.Array] = None,
+    rel_bias: Optional[jax.Array] = None,
 ):
     if image is None:
         imgkey = f"image_{image_token_type_idx - 1}"
@@ -267,9 +282,8 @@ def _image_trunk(
                                   bool_masked_pos=bool_masked_pos)
     x = x + _token_type(params, image_token_type_idx, x, x.dtype)
 
-    bias = relpos.per_layer_bias(
-        params["relative_position_bias_table"], relpos.image_index(spec),
-        spec.num_layers, spec.num_heads)
+    bias = rel_bias if rel_bias is not None else precompute_bias(
+        params, spec, "image")
     dprates = _drop_path_rates(spec)
 
     hidden = []
@@ -315,12 +329,12 @@ def infer_image(params, spec, batch, *, mask_image=False,
 
 def infer_image_ft(params, spec, batch, *, mask_image=False,
                    image_token_type_idx=1, bool_masked_pos=None,
-                   image=None, train=False, rng=None):
+                   image=None, train=False, rng=None, rel_bias=None):
     """Single-branch image pass (vilt_module.py:1378-1464)."""
     del mask_image
     hidden, _, image_masks = _image_trunk(
         params, spec, batch, image_token_type_idx, bool_masked_pos, train,
-        rng, vlffn_rerun=False, image=image)
+        rng, vlffn_rerun=False, image=image, rel_bias=rel_bias)
     vffn = _final_norm(params, hidden[-1])
     if "ifm_image_proj.fc.weight" in params:
         cls_feats = _l2norm(

@@ -26,6 +26,21 @@ from .taps import tap_add
 
 LN_EPS = 1e-6  # partial(nn.LayerNorm, eps=1e-6); vision_transformer.py:831
 
+# Opt-in switch for the Pallas attention kernel (see ops/attention.py).
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_USE_PALLAS = _contextvars.ContextVar("vlm_tpu_pallas_attn", default=False)
+
+
+@_contextlib.contextmanager
+def pallas_attention(enabled: bool = True):
+    token = _USE_PALLAS.set(enabled)
+    try:
+        yield
+    finally:
+        _USE_PALLAS.reset(token)
+
 
 def attention(
     params: Params,
@@ -34,13 +49,16 @@ def attention(
     mask: Optional[jax.Array],
     rel_bias: Optional[jax.Array],
     num_heads: int,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Multi-head self-attention with fp32 logits.
 
     x: (B, N, C); mask: (B, N) 1=valid; rel_bias: (heads, N, N) fp32.
-    Returns (out (B,N,C), attn probs (B,heads,N,N) in x.dtype).
-    reference: vision_transformer.py:329-363.
+    Returns (out (B,N,C), attn probs or None when the fused kernel ran).
+    reference: vision_transformer.py:329-363.  The fused Pallas path
+    (ops/attention.py) keeps the (N,N) logits in VMEM.
     """
+    from ..ops.attention import fused_attention
+
     tap_add(prefix, x)  # gram tap: attention-module input (post-LN)
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -54,24 +72,10 @@ def attention(
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))        # 3, B, H, N, hd
     q, k, v = qkv[0], qkv[1], qkv[2]
 
-    # fp32 logits on the MXU (matches q.float() @ k.float())
-    attn = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32,
-    )                                                # B, H, N, N (f32)
-    if rel_bias is not None:
-        attn = attn + rel_bias[None].astype(jnp.float32)
-    if mask is not None:
-        neg = jnp.asarray(-jnp.inf, attn.dtype)
-        attn = jnp.where(mask[:, None, None, :] > 0, attn, neg)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = fused_attention(q, k, v, rel_bias, mask, scale,
+                          use_pallas=_USE_PALLAS.get())   # B, H, N, hd
+    attn = None  # probs stay in VMEM; no caller consumes them numerically
 
-    out = jax.lax.dot_general(
-        attn, v,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=x.dtype,
-    )                                                # B, H, N, hd
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
     tap_add(f"{prefix}.proj", out)  # gram tap: proj input (attn context)
     out = linear(out, params[f"{prefix}.proj.weight"],
@@ -152,7 +156,8 @@ def _attn_part(
         ot, at = attention(params, f"{p}.attn.l", _x, mask, rel_bias, H)
         oi, ai = attention(params, f"{p}.attn.v", _x, mask, rel_bias, H)
         out = jnp.concatenate([ot[:, :text_len], oi[:, text_len:]], axis=1)
-        return out, (at + ai) / 2
+        probs = None if at is None or ai is None else (at + ai) / 2
+        return out, probs
 
     # shared attention weights
     joint = (

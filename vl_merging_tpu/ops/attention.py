@@ -1,0 +1,176 @@
+"""Fused multi-head attention kernel (Pallas/TPU).
+
+The reference computes attention as separate fp32 matmuls + bias add +
+masked softmax in eager torch (reference:
+src/vilt/modules/vision_transformer.py:346-358), materializing (B,H,N,N)
+logits in HBM twice.  Here the whole per-(batch, head) attention row —
+fp32 logits with additive relative-position bias, key-padding mask,
+softmax, and the value contraction — happens in one VMEM-resident Pallas
+kernel: logits never touch HBM.
+
+Sequence lengths in this model are small (197 @224, 577 @384, 901 @480
+image tokens + ≤40 text), so a whole-row kernel (one (N,N) tile per grid
+cell) fits comfortably in VMEM (577² f32 ≈ 1.3 MB) and avoids online-
+softmax bookkeeping.  N is padded to the lane multiple with masked keys.
+
+`fused_attention` dispatches: Pallas on TPU for N ≥ MIN_PALLAS_N, else a
+jnp reference path (identical math; used on CPU and for tiny splits).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_PALLAS_N = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def reference_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    bias: Optional[jax.Array], mask: Optional[jax.Array],
+    scale: float,
+) -> jax.Array:
+    """Pure-XLA path; q,k,v: (B,H,N,d); bias: (H,N,N) f32; mask: (B,N)."""
+    s = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :] > 0, s,
+                      jnp.asarray(-jnp.inf, s.dtype))
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jax.lax.dot_general(
+        p, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=q.dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                scale: float):
+    """One (batch, head) cell: full-row fused attention in VMEM.
+
+    q/k stay in input dtype so the MXU runs its native bf16×bf16→f32 path;
+    logits, bias add, mask, and softmax are fp32 (reference parity with
+    q.float() @ k.float())."""
+    q = q_ref[0, 0] * jnp.asarray(scale, q_ref.dtype)    # N, d
+    s = jax.lax.dot_general(
+        q, k_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # N, N
+    s = s + bias_ref[0]
+    valid = mask_ref[0, 0] > 0                           # N (keys)
+    s = jnp.where(valid[None, :], s, jnp.asarray(-jnp.inf, jnp.float32))
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _pallas_attention(q, k, v, bias, mask, scale: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, N, d = q.shape
+    Np = _round_up(N, 128)
+    pad_n = Np - N
+    if pad_n:
+        padded = [jnp.pad(x, ((0, 0), (0, 0), (0, pad_n), (0, 0)))
+                  for x in (q, k, v)]
+        q, k, v = padded
+        bias = jnp.pad(bias, ((0, 0), (0, pad_n), (0, pad_n)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_n)))
+    mask = mask[:, None, :]  # (B, 1, Np): TPU-tileable layout
+
+    # Grid (H, B): batch is the fast axis, so the (Np, Np) bias block for
+    # head h stays VMEM-resident across all B cells instead of being
+    # re-DMA'd per cell.  Head dim d (64) is left unpadded — blocks that
+    # span the full trailing array dim are tile-legal.
+    grid = (H, B)
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, Np), lambda h, b: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np), lambda h, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Np * Np * d, transcendentals=Np * Np,
+            bytes_accessed=(3 * Np * d + Np * Np + Np * d) * 4),
+    )(q, k, v, bias, mask)
+    if pad_n:
+        out = out[:, :, :N, :]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _pallas_attention_diff(q, k, v, bias, mask, scale: float):
+    return _pallas_attention(q, k, v, bias, mask.astype(jnp.int32), scale)
+
+
+def _pad_fwd(q, k, v, bias, mask, scale):
+    out = _pallas_attention(q, k, v, bias, mask.astype(jnp.int32), scale)
+    return out, (q, k, v, bias, mask)
+
+
+def _pad_bwd(scale, res, g):
+    """Backward = VJP of the XLA reference path (recomputes logits; the
+    Pallas forward saved only q/k/v/bias, never the (N,N) probs)."""
+    q, k, v, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: reference_attention(q_, k_, v_, b_, mask,
+                                                   scale),
+        q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias, jnp.zeros_like(mask)
+
+
+_pallas_attention_diff.defvjp(_pad_fwd, _pad_bwd)
+
+
+def fused_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    bias: Optional[jax.Array], mask: Optional[jax.Array],
+    scale: float,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Dispatching entry.
+
+    The Pallas whole-row kernel beats the XLA path per-op in isolation
+    (12.9 vs 18.8 ms/layer at B64 N640 on v5e) but loses end-to-end today
+    (XLA overlaps/fuses attention with the surrounding matmuls better), so
+    it is opt-in via config ``pallas_attention=True`` pending a
+    batched-cell flash variant."""
+    B, H, N, d = q.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if not (use_pallas and on_tpu) or N < MIN_PALLAS_N:
+        return reference_attention(q, k, v, bias, mask, scale)
+    if bias is None:
+        bias = jnp.zeros((H, N, N), jnp.float32)
+    else:
+        bias = bias.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones((B, N), jnp.float32)
+    return _pallas_attention_diff(q, k, v, bias,
+                                  mask.astype(jnp.float32), scale)
