@@ -81,6 +81,38 @@ class DataModule:
     make_no_false_test_dset = functools.partialmethod(
         make_no_false_dset, "test")
 
+    @property
+    def id2answer(self):
+        """VQA answer vocabulary (reference vqav2_datamodule.py:19-36).
+
+        Prefers the writer's ``vqav2_ans2label.json``; falls back to
+        scanning the train tables' answers/answer_labels columns."""
+        if getattr(self, "_id2answer", None) is not None:
+            return self._id2answer
+        import json
+        import os
+
+        path = os.path.join(self.data_root, "vqav2_ans2label.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                ans2label = json.load(f)
+            self._id2answer = {v: k for k, v in ans2label.items()}
+        else:
+            mapping = {}
+            for split in ("train", "val"):
+                try:
+                    ds = self.dataset(split)
+                except FileNotFoundError:
+                    continue
+                answers = ds.table["answers"].to_pylist()
+                labels = ds.table["answer_labels"].to_pylist()
+                for row_a, row_l in zip(answers, labels):
+                    for qa, ql in zip(row_a, row_l):
+                        for a, l in zip(qa, ql):
+                            mapping[l] = a
+            self._id2answer = mapping
+        return self._id2answer
+
 
 class MTDataModule:
     """Concat several datamodules' datasets; shared tokenizer/collate from
