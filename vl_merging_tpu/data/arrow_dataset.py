@@ -122,9 +122,17 @@ class ArrowDataset:
         return img.convert("RGB")
 
     def get_image(self, index: int, image_key: str = "image") -> Dict:
+        row, cap = self.index_mapper[index]
+        # fused native decode path for the deterministic eval transform
+        tr0 = self.transforms[0]
+        if len(self.transforms) == 1 and hasattr(tr0, "transform_bytes"):
+            fast = tr0.transform_bytes(self.table[image_key][row].as_py())
+            if fast is not None:
+                ret = {"img_index": row, "cap_index": cap,
+                       "raw_index": index, image_key: fast}
+                return ret
         image = self.get_raw_image(index, image_key=image_key)
         out = [tr(image) for tr in self.transforms]
-        row, cap = self.index_mapper[index]
         ret = {"img_index": row, "cap_index": cap, "raw_index": index}
         if self.use_mim_transform:
             views, targets = zip(*out)

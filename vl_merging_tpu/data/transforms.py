@@ -159,6 +159,18 @@ class SquareTransform:
         img = img.resize((self.size, self.size), resample=Image.BICUBIC)
         return inception_normalize(to_chw_float(img))
 
+    def transform_bytes(self, jpeg: bytes) -> Optional[np.ndarray]:
+        """Fused native JPEG decode+resize+normalize (runtime/decode.cc);
+        None when the buffer isn't JPEG or the native lib is unavailable."""
+        if not (len(jpeg) > 3 and jpeg[:3] == b"\xff\xd8\xff"):
+            return None
+        from .. import runtime
+
+        if not runtime.available():
+            return None
+        return runtime.decode_resize_batch([jpeg], self.size,
+                                           num_threads=1)[0]
+
 
 class SquareTransformRandaug:
     """Train transform: RandomResizedCrop(0.5-1.0) + HFlip + RandAugment(2,7)."""
