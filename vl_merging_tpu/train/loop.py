@@ -323,6 +323,13 @@ class Trainer:
         with open(os.path.join(self._ckpt_dir(tag), "meta.json"), "w") as f:
             json.dump({"step": int(self.state.step),
                        "best_metric": self.best_metric}, f)
+        if tag == "last":  # full-state (opt/rng) resume point
+            from .checkpointing import save_train_state
+            try:
+                save_train_state(self.state,
+                                 os.path.join(self._ckpt_dir(tag), "state"))
+            except Exception as e:
+                print(f"full-state checkpoint failed ({e}); weights saved")
 
     def _maybe_resume(self) -> None:
         cfg = self.cfg
@@ -334,6 +341,14 @@ class Trainer:
             if os.path.exists(cand):
                 path = cand
         if path:
+            # prefer the orbax full state (opt/rng) next to the weights
+            full = os.path.join(os.path.dirname(path), "state")
+            if os.path.isdir(full):
+                from .checkpointing import restore_train_state
+                self.state = restore_train_state(full, self.state)
+                print(f"resumed full state from {full} "
+                      f"at step {int(self.state.step)}")
+                return
             sd = ckpt_io.load_torch_checkpoint(path)
             loaded, missing, _ = ckpt_io.state_dict_to_params(sd, self.spec)
             params = dict(self.state.params)
@@ -346,4 +361,4 @@ class Trainer:
             self.state = ts.TrainState(
                 params=params, opt_state=self.state.opt_state,
                 step=jnp.asarray(step, jnp.int32), rng=self.state.rng)
-            print(f"resumed from {path} at step {step}")
+            print(f"resumed weights from {path} at step {step}")
