@@ -1,0 +1,100 @@
+"""TSV datasets + mixed single/multi-modal (v/l/vl) training e2e."""
+
+import base64
+import io
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from fixtures import make_fixture_root, WORDS
+from vl_merging_tpu.config import build_config
+from vl_merging_tpu.data.tsv import TSVFile, TSVImageDataset, write_tsv
+
+
+def _b64_jpeg(seed, size=48):
+    arr = (np.random.RandomState(seed).rand(size, size, 3) * 255
+           ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    root = make_fixture_root(tmp_path_factory.mktemp("mixed"))
+    # imagenet22k-style TSV shard
+    rows = [[f"img{i}", '[{"class": "tabby_cat"}]', _b64_jpeg(i)]
+            for i in range(8)]
+    write_tsv(rows, os.path.join(root, "imagenet22k_train.tsv"))
+    # text-only corpus
+    with open(os.path.join(root, "text.txt"), "w") as f:
+        for i in range(32):
+            f.write(" ".join(np.random.RandomState(i).choice(WORDS, 6)) + "\n")
+    return root
+
+
+def test_tsv_file_random_access(root):
+    tsv = TSVFile(os.path.join(root, "imagenet22k_train.tsv"))
+    assert len(tsv) == 8
+    row = tsv[5]
+    assert row[0] == "img5"
+    assert row[1] == '[{"class": "tabby_cat"}]'
+    # lineidx reused on reopen
+    tsv2 = TSVFile(os.path.join(root, "imagenet22k_train.tsv"))
+    assert tsv2[0][0] == "img0"
+
+
+def test_tsv_image_dataset(root):
+    ds = TSVImageDataset(
+        data_dir=root, names=["imagenet22k_train"],
+        transform_keys=["square_transform_randaug_mim"], image_size=32,
+        patch_size=16, dvae_image_size=16, image_only=True)
+    s = ds[3]
+    assert s["image"].shape == (3, 32, 32)
+    assert s["image_target"].shape == (3, 16, 16)
+    assert s["image_masked_pos"].shape == (4,)  # (32/16)^2
+
+
+def test_mixed_task_training(root, tmp_path):
+    """tasks=['v','l','vl'] through the Trainer: image-only MIM +
+    text-only MLM + VL losses in one step (reference
+    multi_multitask_datamodule.py + vilt_module.py:1474-1489)."""
+    from vl_merging_tpu.data.datamodule import MultiMTDataModule
+    from vl_merging_tpu.train.loop import Trainer
+
+    cfg = build_config(overrides=dict(
+        tasks=["v", "l", "vl"],
+        datasets=[["imagenet"], ["wikipedia"], ["f30k"]],
+        data_roots=[[root], [os.path.join(root, "text.txt")], [root]],
+        loss_names={"image_only_mim": 1, "text_only_mlm": 1,
+                    "itm": 1, "mlm": 1, "ifm": 1},
+        train_transform_keys=["square_transform_randaug_mim"],
+        val_transform_keys=["square_transform_mim"],
+        data_root=root, log_dir=str(tmp_path / "logs"),
+        tokenizer=os.path.join(root, "vocab.txt"),
+        hidden_size=32, num_heads=2, num_layers=2, image_size=32,
+        patch_size=16, dvae_image_size=16,
+        max_text_len=16, max_text_len_of_initckpt=16, max_vl_text_len=16,
+        vlffn_start_layer_index=1, precision="f32",
+        per_device_batch_size=1, batch_size=8, num_workers=2,
+        max_steps=2, warmup_steps=0, fast_dev_run=True,
+    ))
+    dm = MultiMTDataModule(cfg)
+    batch = next(iter(dm.train_loader(4)))
+    assert set(batch) == {"v", "l", "vl"}
+    assert batch["v"]["image"].shape == (4, 3, 32, 32)
+    assert batch["l"]["text_ids_mlm"].shape[0] == 4
+    assert batch["vl"]["image"].shape == (4, 3, 32, 32)
+
+    # fake dVAE labels (no released weights in CI)
+    def mim_label_fn(b):
+        shape = (b["image_masked_pos"].shape[0],
+                 b["image_masked_pos"].shape[1])
+        return jax.numpy.zeros(shape, jax.numpy.int32)
+
+    trainer = Trainer(cfg, mim_label_fn=mim_label_fn)
+    trainer.fit(dm)
+    assert int(trainer.state.step) >= 1

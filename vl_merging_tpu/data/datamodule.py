@@ -140,6 +140,8 @@ class MTDataModule:
             except FileNotFoundError:
                 if split == "train":
                     raise
+        if not datasets:
+            raise FileNotFoundError(f"no {split} data for {self.cfg['datasets']}")
         concat = ConcatDataset(datasets)
         collate = functools.partial(datasets[0].collate,
                                     mlm_collator=self.mlm_collator)
@@ -176,10 +178,7 @@ class MultiMTDataModule:
             self.mts[task] = MTDataModule(cfg, names=names, data_roots=roots,
                                           mlm_prob=mlm_prob)
 
-    def train_loader(self, batch_size: int):
-        loaders = {t: mt.train_loader(batch_size)
-                   for t, mt in self.mts.items()}
-
+    def _combined(self, loaders):
         def gen():
             iters = {t: iter(l) for t, l in loaders.items()}
             while True:
@@ -193,6 +192,27 @@ class MultiMTDataModule:
 
         n = min(len(l) for l in loaders.values())
         return _SizedIterable(gen, n)
+
+    def train_loader(self, batch_size: int):
+        return self._combined({t: mt.train_loader(batch_size)
+                               for t, mt in self.mts.items()})
+
+    def _eval_loader(self, batch_size: int, split: str):
+        loaders = {}
+        for t, mt in self.mts.items():
+            try:
+                loaders[t] = getattr(mt, f"{split}_loader")(batch_size)
+            except FileNotFoundError:
+                continue
+        if not loaders:
+            raise FileNotFoundError("no eval data for any task type")
+        return self._combined(loaders)
+
+    def val_loader(self, batch_size: int):
+        return self._eval_loader(batch_size, "val")
+
+    def test_loader(self, batch_size: int):
+        return self._eval_loader(batch_size, "test")
 
 
 class _SizedIterable:

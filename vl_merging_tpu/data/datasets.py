@@ -184,8 +184,15 @@ class TextOnlyDataset:
 
     def __init__(self, data_dir: str, max_text_len: int = 196,
                  tokenizer=None, text_file: str = "", **_):
+        import os
+
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
+        if not text_file:
+            if os.path.isfile(data_dir) and data_dir.endswith(".txt"):
+                text_file = data_dir
+            elif os.path.isfile(os.path.join(data_dir, "text.txt")):
+                text_file = os.path.join(data_dir, "text.txt")
         if text_file:
             with open(text_file) as f:
                 self.texts = [l.strip() for l in f if l.strip()]
@@ -217,6 +224,21 @@ class TextOnlyDataset:
         }
 
 
+class ImageNet22kTSVDataset:
+    """IN-22k image-only TSV shards for image_only_mim pretraining
+    (reference imagenet_dataset.py:38-411); thin wrapper picking shard
+    names by split."""
+
+    def __new__(cls, *args, split: str = "", **kwargs):
+        from .tsv import TSVImageDataset
+
+        names = kwargs.pop("names", None) or [f"imagenet22k_{split or 'train'}"]
+        kwargs.pop("draw_false_image", None)
+        kwargs.pop("draw_false_text", None)
+        kwargs.pop("max_vl_text_len", None)
+        return TSVImageDataset(names=names, *args, **kwargs)
+
+
 _DATASETS = {
     "coco": CocoCaptionKarpathyDataset,
     "f30k": F30KCaptionKarpathyDataset,
@@ -226,6 +248,7 @@ _DATASETS = {
     "vqa": VQAv2Dataset,
     "nlvr2": NLVR2Dataset,
     "imagenet1k": ImageNet1kDataset,
+    "imagenet": ImageNet22kTSVDataset,
     "wikipedia": TextOnlyDataset,
     "bookcorpus": TextOnlyDataset,
 }

@@ -37,15 +37,22 @@ ARRAY_KEYS_EXCLUDED = ("text", "qid", "vqa_labels", "vqa_scores",
 
 
 def device_feed(batch: Dict, mesh=None) -> Dict:
-    """Numeric arrays → (sharded) device arrays; python payloads dropped."""
+    """Numeric arrays → (sharded) device arrays; python payloads dropped.
+
+    Mixed-task batches ({"v": …, "l": …, "vl": …}) recurse per task."""
     feed = {}
     for k, v in batch.items():
         if k in ARRAY_KEYS_EXCLUDED:
             continue
-        if isinstance(v, np.ndarray) and v.dtype != object:
+        if isinstance(v, dict):
+            feed[k] = device_feed(v, mesh)
+        elif isinstance(v, np.ndarray) and v.dtype != object:
             feed[k] = jnp.asarray(v)
     if mesh is not None:
-        feed = parallel.shard_batch(feed, mesh)
+        flat = {k: v for k, v in feed.items() if not isinstance(v, dict)}
+        sharded = parallel.shard_batch(flat, mesh)
+        feed = {k: (v if isinstance(v, dict) else sharded[k])
+                for k, v in feed.items()}
     return feed
 
 
