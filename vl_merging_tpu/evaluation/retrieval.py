@@ -97,6 +97,66 @@ def retrieval_recall(
     return {k: float(v) for k, v in out.items()}
 
 
+def make_itm_pair_fn(spec: ModelSpec):
+    """Jitted fused pass scoring (text, image) pairs with the ITM head."""
+    @jax.jit
+    def fn(params, text_ids, text_masks, image):
+        out = model.infer(params, spec,
+                          {"text_ids": text_ids, "text_masks": text_masks},
+                          image=image)
+        logits = model.itm_head(params, out["cls_feats"])
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1)[:, 1]
+    return fn
+
+
+def itm_rerank_scores(
+    params: Params, spec: ModelSpec,
+    text_ids: jax.Array, text_masks: jax.Array, images: jax.Array,
+    itc_scores: jax.Array, topk: int, *, axis: int, pair_batch: int = 64,
+) -> jax.Array:
+    """Rescore the top-k ITC candidates with the ITM head.
+
+    axis=1: per image, rerank its top-k texts (text retrieval);
+    axis=0: per text, rerank its top-k images (image retrieval).
+    Returns itc_scores with the reranked entries replaced by
+    1e4·itm_logprob (so reranked candidates strictly dominate).
+
+    The reference only ships the ITM head as a pretraining loss
+    (SURVEY §3.2: ranking is pure ITC); this is the standard
+    ITC-rank + ITM-rerank protocol as an opt-in extension.
+    """
+    pair_fn = make_itm_pair_fn(spec)
+    scores = itc_scores.astype(jnp.float32)
+    if axis == 1:
+        _, cand = jax.lax.top_k(scores, topk)          # (I, k) text idx
+        n_query = scores.shape[0]
+        new = jnp.full_like(scores, -jnp.inf)
+        for start in range(0, n_query, pair_batch // topk or 1):
+            stop = min(start + max(1, pair_batch // topk), n_query)
+            q = jnp.arange(start, stop)
+            t_idx = cand[start:stop].reshape(-1)        # (nq*k,)
+            ti = jnp.take(text_ids, t_idx, axis=0)
+            tm = jnp.take(text_masks, t_idx, axis=0)
+            im = jnp.repeat(images[start:stop], topk, axis=0)
+            s = pair_fn(params, ti, tm, im).reshape(stop - start, topk)
+            new = new.at[q[:, None], cand[start:stop]].set(1e4 * s)
+        return jnp.where(jnp.isfinite(new), new, scores - 1e8)
+    else:
+        _, cand = jax.lax.top_k(scores.T, topk)         # (T, k) image idx
+        n_query = scores.shape[1]
+        new = jnp.full_like(scores.T, -jnp.inf)
+        for start in range(0, n_query, max(1, pair_batch // topk)):
+            stop = min(start + max(1, pair_batch // topk), n_query)
+            q = jnp.arange(start, stop)
+            i_idx = cand[start:stop].reshape(-1)
+            im = jnp.take(images, i_idx, axis=0)
+            ti = jnp.repeat(text_ids[start:stop], topk, axis=0)
+            tm = jnp.repeat(text_masks[start:stop], topk, axis=0)
+            s = pair_fn(params, ti, tm, im).reshape(stop - start, topk)
+            new = new.at[q[:, None], cand[start:stop]].set(1e4 * s)
+        return jnp.where(jnp.isfinite(new), new, scores.T - 1e8).T
+
+
 def compute_irtr_recall(
     params: Params, spec: ModelSpec,
     text_batches: List[Dict], image_batches: List[Dict],
@@ -106,11 +166,27 @@ def compute_irtr_recall(
     """Full recall pipeline over preloaded batches.
 
     ``itm_rerank_topk > 0`` additionally reranks the top-k ITC candidates
-    with the ITM head (capability extension; the reference ships the head
-    but never reranks — default 0 keeps exact parity)."""
+    with the ITM head (capability extension; default 0 keeps exact
+    reference parity — pure ITC cosine ranking)."""
     txt = extract_features(params, spec, text_batches, "text")
     img = extract_features(params, spec, image_batches, "image")
+    scores = (img.astype(jnp.float32) @ txt.astype(jnp.float32).T)
     if itm_rerank_topk:
-        raise NotImplementedError(
-            "ITM rerank lands with the paired-batch pipeline")
-    return retrieval_recall(img, txt, iids, tiids)
+        text_ids = jnp.concatenate([b["text_ids"] for b in text_batches])
+        text_masks = jnp.concatenate([b["text_masks"] for b in text_batches])
+        images = jnp.concatenate([b["image"] for b in image_batches])
+        tr_scores = itm_rerank_scores(
+            params, spec, text_ids, text_masks, images, scores,
+            itm_rerank_topk, axis=1)
+        ir_scores = itm_rerank_scores(
+            params, spec, text_ids, text_masks, images, scores,
+            itm_rerank_topk, axis=0)
+        out = {}
+        t = _topk_ids(tr_scores, jnp.asarray(iids), jnp.asarray(tiids))
+        i = _topk_ids(ir_scores, jnp.asarray(iids), jnp.asarray(tiids))
+        for k in (1, 5, 10):
+            out[f"tr_r{k}"] = float(t[f"tr_r{k}"])
+            out[f"ir_r{k}"] = float(i[f"ir_r{k}"])
+        return out
+    out = _topk_ids(scores, jnp.asarray(iids), jnp.asarray(tiids))
+    return {k: float(v) for k, v in out.items()}

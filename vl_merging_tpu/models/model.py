@@ -121,6 +121,18 @@ def precompute_bias(params: Params, spec: ModelSpec, kind: str,
         spec.num_layers, spec.num_heads)
 
 
+
+def _block_apply(params, spec, b, x, mask, bias_i, type_id, dp_rate, rng,
+                 train):
+    """One block step; under use_remat the block rematerializes in the
+    backward pass (jax.checkpoint) instead of saving activations."""
+    def f(params, x, mask, bias_i, rng):
+        return block_forward(params, spec, b, x, mask, bias_i, type_id,
+                             drop_path_rate=dp_rate, rng=rng, train=train)[0]
+    if spec.remat and train:
+        f = jax.checkpoint(f)
+    return f(params, x, mask, bias_i, rng)
+
 # --------------------------------------------------------------------------
 # Inference paths
 # --------------------------------------------------------------------------
@@ -162,9 +174,8 @@ def infer(
     dprates = _drop_path_rates(spec)
 
     for i, b in enumerate(spec.blocks):
-        x, _ = block_forward(params, spec, b, x, co_masks, bias[i], VL,
-                             drop_path_rate=dprates[i], rng=rngs[i],
-                             train=train)
+        x = _block_apply(params, spec, b, x, co_masks, bias[i], VL,
+                         dprates[i], rngs[i], train)
     x = _final_norm(params, x)
 
     text_len = t_emb.shape[1]
@@ -203,9 +214,8 @@ def _text_trunk(
 
     hidden = []
     for i, b in enumerate(spec.blocks):
-        x, _ = block_forward(params, spec, b, x, text_masks, bias[i], L,
-                             drop_path_rate=dprates[i], rng=rngs[i],
-                             train=train)
+        x = _block_apply(params, spec, b, x, text_masks, bias[i], L,
+                         dprates[i], rngs[i], train)
         hidden.append(x)
 
     vlffn_hiddens = None
@@ -214,10 +224,9 @@ def _text_trunk(
         # second (vlffn-branch) contrastive head (vilt_module.py:1190-1192)
         vlffn_hiddens = hidden[spec.vlffn_start_layer_index - 1]
         for i in range(spec.vlffn_start_layer_index, spec.num_layers):
-            vlffn_hiddens, _ = block_forward(
+            vlffn_hiddens = _block_apply(
                 params, spec, spec.blocks[i], vlffn_hiddens, text_masks,
-                bias[i], VL, drop_path_rate=dprates[i],
-                rng=rngs[spec.num_layers + i], train=train)
+                bias[i], VL, dprates[i], rngs[spec.num_layers + i], train)
     return hidden, vlffn_hiddens, text_ids, text_labels, text_masks
 
 
@@ -288,19 +297,17 @@ def _image_trunk(
 
     hidden = []
     for i, b in enumerate(spec.blocks):
-        x, _ = block_forward(params, spec, b, x, image_masks, bias[i], V,
-                             drop_path_rate=dprates[i], rng=rngs[i],
-                             train=train)
+        x = _block_apply(params, spec, b, x, image_masks, bias[i], V,
+                         dprates[i], rngs[i], train)
         hidden.append(x)
 
     vlffn_hiddens = None
     if vlffn_rerun:
         vlffn_hiddens = hidden[spec.vlffn_start_layer_index - 1]
         for i in range(spec.vlffn_start_layer_index, spec.num_layers):
-            vlffn_hiddens, _ = block_forward(
+            vlffn_hiddens = _block_apply(
                 params, spec, spec.blocks[i], vlffn_hiddens, image_masks,
-                bias[i], VL, drop_path_rate=dprates[i],
-                rng=rngs[spec.num_layers + i], train=train)
+                bias[i], VL, dprates[i], rngs[spec.num_layers + i], train)
     return hidden, vlffn_hiddens, image_masks
 
 

@@ -73,6 +73,7 @@ class ModelSpec:
     img_cls_label_size: int
     mim_vocab_size: int
     compute_dtype: str           # "bfloat16" | "float32"
+    remat: bool = False          # rematerialize blocks in the bwd pass
 
     @property
     def head_dim(self) -> int:
@@ -188,6 +189,7 @@ def make_model_spec(cfg: dict) -> ModelSpec:
         img_cls_label_size=cfg["img_cls_label_size"],
         mim_vocab_size=8192,
         compute_dtype="bfloat16" if cfg["precision"] == "bf16" else "float32",
+        remat=cfg["use_remat"],
     )
 
 

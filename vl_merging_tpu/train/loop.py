@@ -291,7 +291,8 @@ class Trainer:
 
         out = compute_irtr_recall(
             params, self.spec, text_batches, image_batches,
-            np.asarray(tiids), np.asarray(iids))
+            np.asarray(tiids), np.asarray(iids),
+            itm_rerank_topk=self.cfg["itm_rerank_topk"])
         return out
 
     # -- test ----------------------------------------------------------------
