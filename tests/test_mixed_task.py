@@ -98,3 +98,36 @@ def test_mixed_task_training(root, tmp_path):
     trainer = Trainer(cfg, mim_label_fn=mim_label_fn)
     trainer.fit(dm)
     assert int(trainer.state.step) >= 1
+
+
+def test_msrvtt_frame_dataset(root, tmp_path):
+    """Frame-TSV video dataset: single-frame sampling + captions."""
+    import json
+    from vl_merging_tpu.data.video import MSRVTTDataset
+    from vl_merging_tpu.data.text import build_tokenizer
+
+    vdir = str(tmp_path / "video")
+    rows = [[f"video{i}", "{}", _b64_jpeg(i), _b64_jpeg(i + 50),
+             _b64_jpeg(i + 100)] for i in range(4)]
+    write_tsv(rows, os.path.join(vdir, "msrvtt_train.tsv"))
+    caps = {f"video{i}": [f"a clip number {i}", f"again {i}"]
+            for i in range(4)}
+    with open(os.path.join(vdir, "msrvtt_train.caption.json"), "w") as f:
+        json.dump(caps, f)
+
+    tok = build_tokenizer(os.path.join(root, "vocab.txt"))
+    ds = MSRVTTDataset(
+        data_dir=vdir, transform_keys=["square_transform"], image_size=32,
+        max_text_len=12, tokenizer=tok, split="train")
+    assert len(ds) == 8  # 4 videos x 2 captions
+    s = ds[3]
+    assert s["image"].shape == (3, 32, 32)
+    assert "encoding" in s and s["text"].startswith(("a clip", "again"))
+
+    # eval split: deterministic middle frame
+    ds_eval = MSRVTTDataset(
+        data_dir=vdir, names=["msrvtt_train"], transform_keys=["square_transform"],
+        image_size=32, max_text_len=12, tokenizer=tok, split="val")
+    a = ds_eval[0]["image"]
+    b = ds_eval[0]["image"]
+    np.testing.assert_array_equal(a, b)

@@ -254,5 +254,15 @@ _DATASETS = {
 }
 
 
+def _register_video():
+    from .video import MSRVTTDataset, WebVidDataset
+
+    _DATASETS["msrvtt"] = MSRVTTDataset
+    _DATASETS["webvid"] = WebVidDataset
+
+
+_register_video()
+
+
 def dataset_class(name: str):
     return _DATASETS[name]

@@ -1,0 +1,61 @@
+"""Host-level distributed utilities.
+
+Covers the reference's ``dist_utils`` surface (reference:
+src/vilt/modules/dist_utils.py:84-224 — pickled-object all_gather/gather,
+reduce_dict, synchronize, rank queries) with the JAX-native equivalents:
+in-jit tensor collectives come from shardings (parallel/mesh.py); these
+helpers handle the host-side cases (eval result assembly, rank-0 file
+merges).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import numpy as np
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def synchronize() -> None:
+    """Cross-host barrier (the reference's dist.barrier)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vlm_tpu_sync")
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather an arbitrary picklable object from every process
+    (reference dist_utils.all_gather, gloo pickled path)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj))
+
+
+def reduce_dict(d: Dict[str, float], average: bool = True) -> Dict[str, float]:
+    """Sum (or mean) scalar dicts across processes
+    (reference dist_utils.reduce_dict)."""
+    if jax.process_count() == 1:
+        return dict(d)
+    gathered = all_gather_objects(d)
+    out: Dict[str, float] = {}
+    for g in gathered:
+        for k, v in g.items():
+            out[k] = out.get(k, 0.0) + float(v)
+    if average:
+        out = {k: v / len(gathered) for k, v in out.items()}
+    return out
