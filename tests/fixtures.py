@@ -135,6 +135,7 @@ def make_fixture_root(tmp_path, vocab_words: List[str] = WORDS):
     write_vqa_arrow(root, "vqav2_train")
     write_vqa_arrow(root, "vqav2_trainable_val", seed=4)
     write_vqa_arrow(root, "vqav2_rest_val", seed=5)
+    write_vqa_arrow(root, "vqav2_test", seed=9)
     write_nlvr2_arrow(root, "nlvr2_train")
     write_nlvr2_arrow(root, "nlvr2_dev", seed=6)
     write_nlvr2_arrow(root, "nlvr2_test1", seed=7)

@@ -199,3 +199,30 @@ def test_mim_transform_batch(root):
     assert batch["image"].shape == (2, 3, 64, 64)
     assert batch["image_target"].shape == (2, 3, 112, 112)
     assert batch["image_masked_pos"].shape == (2, 16)  # (64/16)^2
+
+
+def test_wwm_statistics_match_hf(tok, root):
+    """Distributional parity with HF's DataCollatorForWholeWordMask:
+    similar masked-token rate and identical whole-word grouping rule."""
+    import torch
+    from transformers import DataCollatorForWholeWordMask, BertTokenizerFast
+
+    # build an HF tokenizer from the same tiny vocab for the oracle
+    hf_tok = BertTokenizerFast(vocab_file=os.path.join(root, "vocab.txt"),
+                               lowercase=True)
+    texts = [" ".join(np.random.RandomState(i).choice(WORDS, 10))
+             for i in range(200)]
+    hf_coll = DataCollatorForWholeWordMask(tokenizer=hf_tok,
+                                           mlm_probability=0.15)
+    hf_enc = [hf_tok(t, truncation=True, max_length=16) for t in texts]
+    hf_out = hf_coll([{"input_ids": e["input_ids"]} for e in hf_enc])
+    hf_rate = (hf_out["labels"] != -100).float().sum() / \
+        sum(len(e["input_ids"]) - 2 for e in hf_enc)
+
+    ours_enc = [tok.encode(t, max_length=16) for t in texts]
+    coll = MLMCollator(tok, mlm_prob=0.15, whole_word=True, seed=0)
+    out = coll(ours_enc, max_length=16)
+    our_rate = (out["mlm_labels"] != -100).sum() / \
+        sum(len(e["input_ids"]) - 2 for e in ours_enc)
+    assert abs(float(hf_rate) - float(our_rate)) < 0.05, \
+        (float(hf_rate), float(our_rate))

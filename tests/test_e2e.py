@@ -96,3 +96,43 @@ def test_gram_cache_cli(root, tmp_path):
     np.testing.assert_allclose(gn, gn.T, rtol=1e-9)
     # device grams accumulate in f32 → eigenvalues PSD up to f32 rounding
     assert np.linalg.eigvalsh(gn).min() > -1e-4 * np.abs(gn).max()
+
+
+def test_merge_and_finetune_cli(root, tmp_path):
+    """SURVEY §3.3: train an all_moe model briefly, save, then load it into
+    a ufo model through the CLI with merge_weights=True and fine-tune."""
+    from vl_merging_tpu.run import main
+
+    log1 = str(tmp_path / "moe")
+    main(cli_args(root, log1, "all_moe", datasets=["f30k"],
+                  loss_names={"itm": 1, "mlm": 1, "ifm": 1}))
+    exp = os.listdir(log1)[0]
+    ckpt = os.path.join(log1, exp, "checkpoints", "last", "weights.ckpt")
+    assert os.path.exists(ckpt)
+
+    log2 = str(tmp_path / "merged")
+    main(cli_args(root, log2, "ufo", datasets=["f30k"],
+                  loss_names={"irtr": 1}, load_path=ckpt,
+                  merge_weights=True, merge_ratio=0.5))
+    exp2 = os.listdir(log2)[0]
+    assert os.path.exists(os.path.join(log2, exp2, "checkpoints", "last",
+                                       "weights.ckpt"))
+
+
+def test_test_only_vqa_submission(root, tmp_path):
+    """test_only=True VQA path writes a submission json
+    (reference objectives.py:724-769)."""
+    import json as _json
+    from vl_merging_tpu.run import main
+
+    log_dir = str(tmp_path / "vqa")
+    main(cli_args(root, log_dir, datasets=["vqa"],
+                  loss_names={"vqa": 1}, test_only=True))
+    # submission written under the experiment log dir
+    found = []
+    for dirpath, _, files in os.walk(log_dir):
+        found += [os.path.join(dirpath, f) for f in files
+                  if f.startswith("vqa_submit")]
+    assert found, f"no submission under {log_dir}"
+    subs = _json.load(open(found[0]))
+    assert subs and {"question_id", "answer"} <= set(subs[0])

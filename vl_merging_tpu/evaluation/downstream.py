@@ -40,7 +40,11 @@ def vqa_predictions(
                 if k in ("text_ids", "text_masks", "image")}
         preds = np.asarray(jax.numpy.argmax(fn(params, feed), axis=-1))
         for qid, pred in zip(b["qid"], preds):
-            rets.append({"question_id": qid, "answer": id2answer[int(pred)]})
+            if isinstance(qid, (np.integer, np.floating)):
+                qid = qid.item()  # json-serializable
+            # .get: a partial vocab (fixtures / scanned tables) may miss ids
+            rets.append({"question_id": qid,
+                         "answer": id2answer.get(int(pred), "")})
     return rets
 
 
