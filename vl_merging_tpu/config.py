@@ -139,6 +139,7 @@ def base_config() -> ConfigDict:
         load_path="",
         num_workers=8,
         precision="bf16",         # "bf16" | "f32" (reference: fp16 AMP)
+        attention_logits_dtype="f32",  # "f32" (reference parity) | "bf16"
         compute_memory=False,
 
         # Middle-representation extraction (gram caching)

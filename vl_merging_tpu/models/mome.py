@@ -49,6 +49,7 @@ def attention(
     mask: Optional[jax.Array],
     rel_bias: Optional[jax.Array],
     num_heads: int,
+    logits_dtype=jnp.float32,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Multi-head self-attention with fp32 logits.
 
@@ -73,7 +74,8 @@ def attention(
     q, k, v = qkv[0], qkv[1], qkv[2]
 
     out = fused_attention(q, k, v, rel_bias, mask, scale,
-                          use_pallas=_USE_PALLAS.get())   # B, H, N, hd
+                          use_pallas=_USE_PALLAS.get(),
+                          logits_dtype=logits_dtype)      # B, H, N, hd
     attn = None  # probs stay in VMEM; no caller consumes them numerically
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
@@ -135,6 +137,11 @@ def _attn_part(
     attention routing.
     """
     H = spec.num_heads
+    ldt = jnp.bfloat16 if spec.attention_logits_dtype == "bf16" \
+        else jnp.float32
+
+    def attn(prefix, x_, m_, b_):
+        return attention(params, prefix, x_, m_, b_, H, logits_dtype=ldt)
 
     def ln1(v):
         return apply_ln(params, p, "norm1", b.norm1_experts, b, type_id, v,
@@ -143,18 +150,18 @@ def _attn_part(
     if b.kind == "moe" and b.attn_experts:
         if type_id in (V, L) or (type_id == VL and b.has_vl):
             t = _TASK_OF_TYPE[type_id]
-            return attention(params, f"{p}.attn.{t}", ln1(x), mask, rel_bias, H)
+            return attn(f"{p}.attn.{t}", ln1(x), mask, rel_bias)
         if b.self_attn_single:
             # per-modality self-attention on split halves (:619-637)
             _x = ln1(x)
             xt, xi, mt, mi, bt, bi = _split(_x, mask, rel_bias, text_len)
-            ot, at = attention(params, f"{p}.attn.l", xt, mt, bt, H)
-            oi, ai = attention(params, f"{p}.attn.v", xi, mi, bi, H)
+            ot, at = attn(f"{p}.attn.l", xt, mt, bt)
+            oi, ai = attn(f"{p}.attn.v", xi, mi, bi)
             return jnp.concatenate([ot, oi], axis=1), ai
         # both experts over all tokens, re-concat each modality's half (:639-649)
         _x = ln1(x)
-        ot, at = attention(params, f"{p}.attn.l", _x, mask, rel_bias, H)
-        oi, ai = attention(params, f"{p}.attn.v", _x, mask, rel_bias, H)
+        ot, at = attn(f"{p}.attn.l", _x, mask, rel_bias)
+        oi, ai = attn(f"{p}.attn.v", _x, mask, rel_bias)
         out = jnp.concatenate([ot[:, :text_len], oi[:, text_len:]], axis=1)
         probs = None if at is None or ai is None else (at + ai) / 2
         return out, probs
@@ -166,12 +173,12 @@ def _attn_part(
         or not b.self_attn_single
     )
     if joint:
-        return attention(params, f"{p}.attn", ln1(x), mask, rel_bias, H)
+        return attn(f"{p}.attn", ln1(x), mask, rel_bias)
     # shared weights, modality-block-diagonal attention (:560-584)
     _x = ln1(x)
     xt, xi, mt, mi, bt, bi = _split(_x, mask, rel_bias, text_len)
-    ot, at = attention(params, f"{p}.attn", xt, mt, bt, H)
-    oi, ai = attention(params, f"{p}.attn", xi, mi, bi, H)
+    ot, at = attn(f"{p}.attn", xt, mt, bt)
+    oi, ai = attn(f"{p}.attn", xi, mi, bi)
     return jnp.concatenate([ot, oi], axis=1), ai
 
 

@@ -74,6 +74,7 @@ class ModelSpec:
     mim_vocab_size: int
     compute_dtype: str           # "bfloat16" | "float32"
     remat: bool = False          # rematerialize blocks in the bwd pass
+    attention_logits_dtype: str = "f32"  # "f32" parity | "bf16" fast eval
 
     @property
     def head_dim(self) -> int:
@@ -190,6 +191,7 @@ def make_model_spec(cfg: dict) -> ModelSpec:
         mim_vocab_size=8192,
         compute_dtype="bfloat16" if cfg["precision"] == "bf16" else "float32",
         remat=cfg["use_remat"],
+        attention_logits_dtype=cfg["attention_logits_dtype"],
     )
 
 
