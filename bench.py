@@ -45,13 +45,19 @@ def main() -> None:
     spec = make_model_spec(cfg)
     params = init_params(spec, seed=0)
 
+    from vl_merging_tpu.models.mome import pallas_attention
+
     # NOTE: the rel-pos bias gather stays INSIDE the jit — XLA fuses it
     # into the attention consumers and never materializes the (L,H,N,N)
     # bias in HBM; hoisting it out as an input measured 1.4x slower on the
-    # bandwidth-limited dev chip (368 vs 522 img/s).
+    # bandwidth-limited dev chip (368 vs 522 img/s).  The batch-blocked
+    # Pallas attention kernel (ops/attention.py) beats the XLA path
+    # end-to-end (558 vs 521 img/s) — enabled for eval.
     @jax.jit
     def image_tower(p, image):
-        return model.infer_image_ft(p, spec, {"image": image})["cls_feats"]
+        with pallas_attention(True):  # active at trace time
+            return model.infer_image_ft(p, spec,
+                                        {"image": image})["cls_feats"]
 
     rng = np.random.RandomState(0)
     image = jnp.asarray(

@@ -29,18 +29,25 @@ from ..models.spec import ModelSpec, Params
 def make_text_feature_fn(spec: ModelSpec):
     # the rel-pos bias gather stays inside the jit: XLA fuses it into the
     # attention consumers (hoisting it measured 1.4x slower; see bench.py)
+    from ..models.mome import pallas_attention
+
     @jax.jit
     def fn(params, text_ids, text_masks):
-        out = model.infer_text_ft(
-            params, spec, {"text_ids": text_ids, "text_masks": text_masks})
+        with pallas_attention(True):  # active at trace time
+            out = model.infer_text_ft(
+                params, spec,
+                {"text_ids": text_ids, "text_masks": text_masks})
         return out["cls_feats"]
     return fn
 
 
 def make_image_feature_fn(spec: ModelSpec):
+    from ..models.mome import pallas_attention
+
     @jax.jit
     def fn(params, image):
-        out = model.infer_image_ft(params, spec, {"image": image})
+        with pallas_attention(True):  # active at trace time
+            out = model.infer_image_ft(params, spec, {"image": image})
         return out["cls_feats"]
     return fn
 

@@ -83,6 +83,75 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _mha_kernel_bb(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                   scale: float):
+    """Batch-blocked cell: bb batches × one head per grid step.
+
+    Amortizes grid-step latency and keeps the head's bias block resident
+    while the MXU sees batched (bb, N, d) contractions."""
+    q = q_ref[:, 0] * jnp.asarray(scale, q_ref.dtype)    # bb, N, d
+    s = jax.lax.dot_general(
+        q, k_ref[:, 0],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # bb, N, N
+    s = s + bias_ref[0][None]
+    valid = mask_ref[:, 0] > 0                           # bb, N
+    s = jnp.where(valid[:, None, :], s, jnp.asarray(-jnp.inf, jnp.float32))
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:, 0],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[:, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_b"))
+def _pallas_attention_bb(q, k, v, bias, mask, scale: float, block_b: int = 4):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, N, d = q.shape
+    Np = _round_up(N, 128)
+    pad_n = Np - N
+    pad_b = (-B) % block_b
+    if pad_n or pad_b:
+        padded = [jnp.pad(x, ((0, pad_b), (0, 0), (0, pad_n), (0, 0)))
+                  for x in (q, k, v)]
+        q, k, v = padded
+        bias = jnp.pad(bias, ((0, 0), (0, pad_n), (0, pad_n)))
+        mask = jnp.pad(mask, ((0, pad_b), (0, pad_n)))
+    Bp = B + pad_b
+    mask = mask[:, None, :]
+
+    grid = (H, Bp // block_b)
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel_bb, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((Bp, H, Np, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, Np), lambda h, b: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, Np), lambda h, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 1, Np, d), lambda h, b: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * block_b * Np * Np * d,
+            transcendentals=block_b * Np * Np,
+            bytes_accessed=(3 * block_b * Np * d + Np * Np) * 4),
+    )(q, k, v, bias, mask)
+    if pad_n or pad_b:
+        out = out[:B, :, :N, :]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _pallas_attention(q, k, v, bias, mask, scale: float):
     from jax.experimental import pallas as pl
@@ -131,13 +200,24 @@ def _pallas_attention(q, k, v, bias, mask, scale: float):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _pallas_attention_diff(q, k, v, bias, mask, scale: float):
+def _pallas_dispatch(q, k, v, bias, mask, scale):
+    """block_b=4 fits VMEM for N≤640 (s-tile 6.5 MB f32); fall back to the
+    single-cell kernel for longer rows (e.g. 901+40 @480)."""
+    Np = _round_up(q.shape[2], 128)
+    block_b = 4 if (q.shape[0] % 4 == 0 and Np <= 640) else 1
+    if block_b > 1:
+        return _pallas_attention_bb(q, k, v, bias, mask.astype(jnp.int32),
+                                    scale, block_b=block_b)
     return _pallas_attention(q, k, v, bias, mask.astype(jnp.int32), scale)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _pallas_attention_diff(q, k, v, bias, mask, scale: float):
+    return _pallas_dispatch(q, k, v, bias, mask, scale)
+
+
 def _pad_fwd(q, k, v, bias, mask, scale):
-    out = _pallas_attention(q, k, v, bias, mask.astype(jnp.int32), scale)
+    out = _pallas_dispatch(q, k, v, bias, mask, scale)
     return out, (q, k, v, bias, mask)
 
 
