@@ -62,6 +62,24 @@ def active_tap(tap: Optional[GramTap]):
         _ACTIVE_TAP.reset(token)
 
 
+class CaptureTap:
+    """Captures raw module-input activations (the reference's
+    get_middle_representation / hook_input path,
+    cache_gram_matrices.py:240-262) for offline analysis."""
+
+    def __init__(self, suffixes: Sequence[str]):
+        self.suffixes = tuple(suffixes)
+        self.activations: Dict[str, list] = {}
+
+    def wants(self, name: str) -> bool:
+        return any(name.endswith(s) for s in self.suffixes)
+
+    def add(self, name: str, x: jax.Array) -> None:
+        if not self.wants(name):
+            return
+        self.activations.setdefault(name, []).append(x)
+
+
 MOE_GRAM_SUFFIXES = (
     # reference cache_gram_matrices.py:264-274
     "mlp.fc1", "mlp.fc2",

@@ -252,7 +252,10 @@ def fused_attention(
     batched-cell flash variant."""
     B, H, N, d = q.shape
     on_tpu = jax.default_backend() == "tpu"
-    if not (use_pallas and on_tpu) or N < MIN_PALLAS_N:
+    # the Pallas kernels compute f32 logits (parity mode); the bf16-logits
+    # fast mode routes through the XLA path
+    if not (use_pallas and on_tpu) or N < MIN_PALLAS_N or \
+            logits_dtype != jnp.float32:
         return reference_attention(q, k, v, bias, mask, scale,
                                    logits_dtype=logits_dtype)
     if bias is None:
