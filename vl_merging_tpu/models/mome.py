@@ -86,7 +86,19 @@ def attention(
 
 
 def mlp(params: Params, prefix: str, x: jax.Array) -> jax.Array:
-    """fc1 → GELU → fc2 (dropout rate is 0 in all reference configs)."""
+    """fc1 → GELU → fc2 (dropout rate is 0 in all reference configs).
+
+    Under the Pallas flag the fused kernel keeps the (M, 4C) hidden
+    activations in VMEM (ops/mlp.py); gram taps force the unfused path
+    since they need the fc2 input."""
+    from ..ops.mlp import fused_mlp
+    from .taps import _ACTIVE_TAP
+
+    if _ACTIVE_TAP.get() is None:
+        return fused_mlp(
+            x, params[f"{prefix}.fc1.weight"], params[f"{prefix}.fc1.bias"],
+            params[f"{prefix}.fc2.weight"], params[f"{prefix}.fc2.bias"],
+            use_pallas=_USE_PALLAS.get())
     tap_add(f"{prefix}.fc1", x)
     h = gelu(linear(x, params[f"{prefix}.fc1.weight"],
                     params[f"{prefix}.fc1.bias"], dtype=x.dtype))

@@ -1,0 +1,144 @@
+"""Fused MLP kernel (fc1 → GELU → fc2) for TPU.
+
+The transformer MLP writes its (M, 4C) hidden activations to HBM and reads
+them back for fc2 — ~500 MB per ViT-B layer at B64 N640, the single
+largest traffic term in the forward pass.  This kernel keeps both weight
+matrices VMEM-resident across row-block grid steps and the hidden
+activations entirely in VMEM: HBM traffic drops to x-in + out + weights.
+
+Weights stay in torch layout ((out, in)); contraction indices avoid any
+transpose.  GELU is exact (erf), matching torch nn.GELU
+(reference: src/vilt/modules/vision_transformer.py:272-296).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+BLOCK_M = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def reference_mlp(x, w1, b1, w2, b2):
+    """XLA path; x: (..., C); w1: (H, C); w2: (C, H) (torch layout)."""
+    h = jax.nn.gelu(
+        jax.lax.dot_general(x, w1.astype(x.dtype),
+                            (((x.ndim - 1,), (1,)), ((), ())),
+                            preferred_element_type=x.dtype)
+        + b1.astype(x.dtype), approximate=False)
+    return jax.lax.dot_general(h, w2.astype(x.dtype),
+                               (((x.ndim - 1,), (1,)), ((), ())),
+                               preferred_element_type=x.dtype) \
+        + b2.astype(x.dtype)
+
+
+def _erf_approx(x):
+    """Abramowitz–Stegun 7.1.26 rational erf (|err| ≤ 1.5e-7 — far below
+    bf16 activation resolution); Pallas TPU has no erf/erfc lowering."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _erf_gelu(x):
+    return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[...]                                       # bm, C
+    h = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # bm, H
+    h = _erf_gelu(h + b1_ref[...].astype(jnp.float32))
+    o = jax.lax.dot_general(
+        h.astype(x.dtype), w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # bm, C
+    o_ref[...] = (o + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@jax.jit
+def _pallas_mlp(x2d, w1, b1, w2, b2):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, C = x2d.shape
+    H = w1.shape[0]
+    Mp = _round_up(M, BLOCK_M)
+    if Mp != M:
+        x2d = jnp.pad(x2d, ((0, Mp - M), (0, 0)))
+
+    out = pl.pallas_call(
+        _mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x2d.dtype),
+        grid=(Mp // BLOCK_M,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_M, C), lambda m: (m, 0),
+                         memory_space=pltpu.VMEM),
+            # weights/biases: constant index map → VMEM-resident across steps
+            pl.BlockSpec((H, C), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), lambda m: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda m: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_M, C), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BLOCK_M * C * H, transcendentals=BLOCK_M * H,
+            bytes_accessed=(BLOCK_M * C * 2 + (H * C * 2 + H + C) * 2) * 2),
+    )(x2d, w1, b1, w2, b2)
+    return out[:M] if Mp != M else out
+
+
+def _pallas_mlp_3d(x, w1, b1, w2, b2):
+    B, N, C = x.shape
+    out = _pallas_mlp(x.reshape(B * N, C), w1, b1, w2, b2)
+    return out.reshape(B, N, C)
+
+
+@jax.custom_vjp
+def _pallas_mlp_diff(x, w1, b1, w2, b2):
+    return _pallas_mlp_3d(x, w1, b1, w2, b2)
+
+
+def _fwd(x, w1, b1, w2, b2):
+    return _pallas_mlp_3d(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _bwd(res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(reference_mlp, x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_pallas_mlp_diff.defvjp(_fwd, _bwd)
+
+
+def _kernel_ok(C: int, H: int, M: int) -> bool:
+    # weights must tile cleanly and fit VMEM (2·H·C bf16 + hidden block)
+    if C % 128 or H % 128 or M < BLOCK_M:
+        return False
+    vmem = 2 * H * C * 2 + BLOCK_M * (H * 4 + 4 * C * 2)
+    return vmem < 14 * 1024 * 1024
+
+
+def fused_mlp(x, w1, b1, w2, b2, use_pallas: bool = False):
+    """x: (B, N, C); weights torch layout.  Pallas on TPU when shapes fit."""
+    B, N, C = x.shape
+    H = w1.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    if not (use_pallas and on_tpu) or not _kernel_ok(C, H, B * N):
+        return reference_mlp(x, w1, b1, w2, b2)
+    return _pallas_mlp_diff(x, w1.astype(x.dtype), b1, w2.astype(x.dtype),
+                            b2)
