@@ -77,6 +77,26 @@ class VisualGenomeCaptionDataset(ArrowDataset):
                          text_column_name="caption")
 
 
+class CcDataset(ArrowDataset):
+    """Conceptual Captions, 256 arrow shards (reference cc_dataset.py)."""
+
+    def __init__(self, *args, split: str = "", **kwargs):
+        names = ([f"cc_train_{i}" for i in range(256)]
+                 if split == "train" else [])
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+
+class YfccDataset(ArrowDataset):
+    """YFCC, 362 arrow shards (reference yfcc_dataset.py)."""
+
+    def __init__(self, *args, split: str = "", **kwargs):
+        names = ([f"yfcc_train_{i}" for i in range(362)]
+                 if split == "train" else [])
+        super().__init__(*args, **kwargs, names=names,
+                         text_column_name="caption")
+
+
 class VQAv2Dataset(ArrowDataset):
     """reference: vqav2_dataset.py:1-55; emits qid + dense-able answer
     labels/scores."""
@@ -245,6 +265,8 @@ _DATASETS = {
     "sbu": SBUCaptionDataset,
     "gcc": ConceptualCaptionDataset,
     "vg": VisualGenomeCaptionDataset,
+    "cc": CcDataset,
+    "yfcc": YfccDataset,
     "vqa": VQAv2Dataset,
     "nlvr2": NLVR2Dataset,
     "imagenet1k": ImageNet1kDataset,
