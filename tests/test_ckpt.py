@@ -165,3 +165,78 @@ def test_load_params_pipeline_with_merge(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["transformer.blocks.0.mlp.fc1.weight"]), want,
         rtol=1e-6)
+
+
+def test_beit_pipeline_into_all_moe(tmp_path):
+    """BEiT image-only checkpoint → expert renames + v→l/vl cloning →
+    loads into an all_moe model (the pretraining-init path,
+    vilt_module.py:808-972)."""
+    over = dict(num_layers=2, hidden_size=32, num_heads=2, image_size=32,
+                max_text_len=8, max_text_len_of_initckpt=16,
+                vlffn_start_layer_index=1, precision="f32",
+                use_beit_weight=True,
+                use_vision_weights_for_other_modalities=True)
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", "all_moe",
+        overrides=over)
+    spec = make_model_spec(cfg)
+
+    # synthesize a beit-style checkpoint: expert-free trunk + shared
+    # rel-pos table with only image buckets (+3)
+    rng = np.random.RandomState(0)
+    hs, window = 32, 2
+    src_rows = (2 * window - 1) ** 2 + 3
+    sd = {}
+    for i in range(2):
+        p = f"transformer.blocks.{i}"
+        sd[f"{p}.attn.qkv.weight"] = rng.randn(3 * hs, hs).astype(np.float32)
+        sd[f"{p}.attn.q_bias"] = rng.randn(hs).astype(np.float32)
+        sd[f"{p}.attn.v_bias"] = rng.randn(hs).astype(np.float32)
+        sd[f"{p}.attn.proj.weight"] = rng.randn(hs, hs).astype(np.float32)
+        sd[f"{p}.attn.proj.bias"] = rng.randn(hs).astype(np.float32)
+        sd[f"{p}.mlp.fc1.weight"] = rng.randn(4 * hs, hs).astype(np.float32)
+        sd[f"{p}.mlp.fc1.bias"] = rng.randn(4 * hs).astype(np.float32)
+        sd[f"{p}.mlp.fc2.weight"] = rng.randn(hs, 4 * hs).astype(np.float32)
+        sd[f"{p}.mlp.fc2.bias"] = rng.randn(hs).astype(np.float32)
+        for nrm in ("norm1", "norm2"):
+            sd[f"{p}.{nrm}.weight"] = np.ones(hs, np.float32)
+            sd[f"{p}.{nrm}.bias"] = np.zeros(hs, np.float32)
+        sd[f"{p}.gamma_1"] = np.full(hs, 0.1, np.float32)
+        sd[f"{p}.gamma_2"] = np.full(hs, 0.1, np.float32)
+    sd["transformer.rel_pos_bias.relative_position_bias_table"] = \
+        rng.randn(src_rows, 2).astype(np.float32)
+    sd["transformer.rel_pos_bias.relative_position_index"] = \
+        np.zeros((5, 5), np.int64)
+    sd["transformer.fc_norm.weight"] = np.ones(hs, np.float32)
+    sd["transformer.fc_norm.bias"] = np.zeros(hs, np.float32)
+    sd["transformer.cls_token"] = rng.randn(1, 1, hs).astype(np.float32)
+    sd["transformer.patch_embed.proj.weight"] = \
+        rng.randn(hs, 3, 16, 16).astype(np.float32)
+    sd["transformer.patch_embed.proj.bias"] = rng.randn(hs).astype(np.float32)
+
+    path = str(tmp_path / "beit.ckpt")
+    save_torch_checkpoint(sd, path)
+    cfg["load_path"] = path
+    params, missing, unexpected = load_params(cfg, spec)
+
+    # v expert got the beit weights; l and (deep layer) vl are clones
+    np.testing.assert_array_equal(
+        np.asarray(params["transformer.blocks.0.attn.v.qkv.weight"]),
+        sd["transformer.blocks.0.attn.qkv.weight"])
+    np.testing.assert_array_equal(
+        np.asarray(params["transformer.blocks.0.mlp.l.fc1.weight"]),
+        sd["transformer.blocks.0.mlp.fc1.weight"])
+    np.testing.assert_array_equal(
+        np.asarray(params["transformer.blocks.1.mlp.vl.fc2.weight"]),
+        sd["transformer.blocks.1.mlp.fc2.weight"])
+    # custom LNs renamed into expert slots
+    np.testing.assert_array_equal(
+        np.asarray(params["transformer.blocks.0.norm1.v.weight"]),
+        sd["transformer.blocks.0.norm1.weight"])
+    # fc_norm renamed into final norm
+    np.testing.assert_array_equal(
+        np.asarray(params["transformer.norm.weight"]),
+        sd["transformer.fc_norm.weight"])
+    # table rebuilt to the fused layout
+    assert params["relative_position_bias_table"].shape == \
+        (spec.all_num_relative_distance, spec.num_heads * spec.num_layers)

@@ -215,3 +215,24 @@ def test_remat_training_matches_no_remat():
                         np.asarray(state.params["transformer.norm.weight"])))
     assert abs(results[0][0] - results[1][0]) < 1e-5
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+
+
+def test_training_determinism_same_seed():
+    """Two runs from the same seed produce bit-identical metrics/params."""
+    cfg = tiny_cfg("ufo", loss_names={"mlm": 1, "ifm": 1, "itm": 1},
+                   warmup_steps=0)
+    spec = make_model_spec(cfg)
+    batch = make_batch(spec, bsz=4)
+
+    results = []
+    for _ in range(2):
+        params = init_params(spec, 0)
+        opt = make_optimizer(params, cfg, 10, make_schedule(cfg, 10))
+        state = init_train_state(params, opt, seed=7)
+        step = make_train_step(cfg, spec, opt, donate=False)
+        state, m = step(state, batch)
+        state, m = step(state, batch)
+        results.append((float(m["total_loss"]),
+                        np.asarray(state.params["transformer.norm.weight"])))
+    assert results[0][0] == results[1][0]
+    np.testing.assert_array_equal(results[0][1], results[1][1])
