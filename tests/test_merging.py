@@ -246,3 +246,28 @@ def test_regmean_missing_gram_skips_expert():
     w = torch.from_numpy(sd[f"{p}.mlp.v.fc1.weight"]).to(torch.float64)
     want = (w @ G) @ torch.inverse(G)
     np.testing.assert_array_equal(got[f"{p}.mlp.fc1.weight"], want.numpy())
+
+
+def test_merge_cli_roundtrip(tmp_path):
+    """Standalone merge CLI: ckpt in → merged.ckpt out, values correct."""
+    import torch
+    from vl_merging_tpu.ckpt.io import save_torch_checkpoint
+    from vl_merging_tpu.merge import main
+
+    sd = make_expert_state()
+    path = str(tmp_path / "ms.ckpt")
+    save_torch_checkpoint(sd, path)
+    out = main([
+        "with",
+        f"load_path={path!r}", "merge_weights=True", "merge_ratio=0.5",
+        f"log_dir={str(tmp_path)!r}",
+        f"num_layers={N_LAYERS}", "hidden_size=16", "num_heads=2",
+        "image_size=32", "patch_size=16",
+        f"vlffn_start_layer_index={VLFFN_START}",
+    ])
+    merged = torch.load(out, weights_only=False)["state_dict"]
+    want = core.merge_weights(
+        sd, num_layers=N_LAYERS, vlffn_start_layer_index=VLFFN_START,
+        loss_names={"itm": 1, "ifm": 1, "mlm": 1}, merge_ratio=0.5)
+    k = "transformer.blocks.0.mlp.fc1.weight"
+    np.testing.assert_array_equal(merged[k].numpy(), want[k])

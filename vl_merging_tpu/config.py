@@ -680,6 +680,26 @@ def parse_cli(argv: List[str]) -> ConfigDict:
     return build_config(*names, overrides=overrides)
 
 
+# Architecture presets implied by the reference's timm factory names
+# (reference vision_transformer.py:1238+); named configs must agree.
+VIT_PRESETS = {
+    "vit_tiny_patch16_224": dict(hidden_size=192, num_heads=3, num_layers=12,
+                                 patch_size=16),
+    "vit_tiny_patch16_384": dict(hidden_size=192, num_heads=3, num_layers=12,
+                                 patch_size=16),
+    "vit_base_patch16_224": dict(hidden_size=768, num_heads=12,
+                                 num_layers=12, patch_size=16),
+    "vit_base_patch16_384": dict(hidden_size=768, num_heads=12,
+                                 num_layers=12, patch_size=16),
+    "vit_base_patch32_224": dict(hidden_size=768, num_heads=12,
+                                 num_layers=12, patch_size=32),
+    "vit_large_patch16_224": dict(hidden_size=1024, num_heads=16,
+                                  num_layers=24, patch_size=16),
+    "vit_large_patch16_384": dict(hidden_size=1024, num_heads=16,
+                                  num_layers=24, patch_size=16),
+}
+
+
 def _validate(cfg: ConfigDict) -> None:
     if cfg["hidden_size"] % cfg["num_heads"] != 0:
         raise ValueError("hidden_size must be divisible by num_heads")
@@ -687,3 +707,11 @@ def _validate(cfg: ConfigDict) -> None:
         raise ValueError("image_size must be divisible by patch_size")
     if cfg["precision"] not in ("bf16", "f32"):
         raise ValueError(f"unknown precision {cfg['precision']!r}")
+    # catch the footgun of setting vit=<large/tiny> while leaving the
+    # architecture keys at their ViT-base defaults
+    preset = VIT_PRESETS.get(cfg["vit"])
+    if preset and preset["hidden_size"] != 768 and cfg["hidden_size"] == 768:
+        raise ValueError(
+            f"vit={cfg['vit']!r} implies hidden_size="
+            f"{preset['hidden_size']}; set hidden_size/num_heads/num_layers "
+            f"to match (the reference's named configs do)")
