@@ -136,3 +136,10 @@ def test_test_only_vqa_submission(root, tmp_path):
     assert found, f"no submission under {log_dir}"
     subs = _json.load(open(found[0]))
     assert subs and {"question_id", "answer"} <= set(subs[0])
+
+
+def test_imagenet1k_img_cls_fit(root, tmp_path):
+    from vl_merging_tpu.run import main
+
+    main(cli_args(root, str(tmp_path / "logs"), datasets=["imagenet1k"],
+                  loss_names={"img_cls": 1}, image_only=True))

@@ -187,7 +187,8 @@ class ImageNet1kDataset(ArrowDataset):
 
     def __init__(self, *args, split: str = "", **kwargs):
         names = [f"imagenet1k_{split or 'train'}"]
-        super().__init__(*args, **kwargs, names=names, image_only=True)
+        kwargs["image_only"] = True  # classification rows have no captions
+        super().__init__(*args, **kwargs, names=names)
 
     def __getitem__(self, index: int) -> Dict:
         ret = self.get_image(index)

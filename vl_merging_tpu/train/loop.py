@@ -81,6 +81,9 @@ class Trainer:
     def __init__(self, cfg: Dict, mim_label_fn=None):
         self.cfg = cfg
         self.spec: ModelSpec = make_model_spec(cfg)
+        if cfg["use_cpu"]:  # reference's CPU dry-run path (run.py:236-261)
+            from ..utils.platform import force_cpu
+            force_cpu()
         parallel.initialize_multihost()
         fsdp = 2 if (cfg["use_sharded_training"]
                      and jax.device_count() % 2 == 0) else 1
