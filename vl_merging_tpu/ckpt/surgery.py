@@ -19,7 +19,7 @@ All functions take/return plain numpy dicts; nothing touches a device.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

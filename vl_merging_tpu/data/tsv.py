@@ -17,7 +17,6 @@ import os
 import os.path as op
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 from PIL import Image
 
 from .masking_generator import MaskingGenerator

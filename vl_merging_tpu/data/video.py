@@ -14,9 +14,7 @@ from __future__ import annotations
 import json
 import os.path as op
 import random
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, List
 
 from .tsv import CompositeTSVFile, TSVFile, decode_b64_image
 from .transforms import keys_to_transforms

@@ -16,7 +16,7 @@ TPU-first redesign of the reference's recall loop
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 import jax
 import jax.numpy as jnp

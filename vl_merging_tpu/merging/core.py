@@ -16,7 +16,7 @@ Non-block keys and LayerScale gammas pass through unchanged.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -15,7 +15,7 @@ and stochastic depth on both residual branches.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

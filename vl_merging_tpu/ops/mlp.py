@@ -13,9 +13,6 @@ transpose.  GELU is exact (erf), matching torch nn.GELU
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

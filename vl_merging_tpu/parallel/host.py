@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 import jax
-import numpy as np
 
 
 def get_rank() -> int:

@@ -9,11 +9,7 @@ analogue of Lightning's resume_from_checkpoint (reference run.py:253,280).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
-
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .train_step import TrainState
 

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.spec import Params
