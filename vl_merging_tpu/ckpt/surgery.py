@@ -242,3 +242,24 @@ def modify_checkpoint_self(
         text_num_relative_distance=text_num_relative_distance)
     rename_fc_norm(sd)
     return sd
+
+
+def interpolate_pos_embed(
+    pos_embed: np.ndarray, dst_num_patches: int, num_extra_tokens: int = 1,
+) -> np.ndarray:
+    """Classic absolute position-embedding bicubic resize
+    (vilt_module.py:18-42; mostly unused since abs pos-embeds are off).
+
+    pos_embed: (1, extra + src_patches, dim) → (1, extra + dst_patches, dim).
+    """
+    dim = pos_embed.shape[-1]
+    extra = pos_embed[:, :num_extra_tokens]
+    patches = pos_embed[0, num_extra_tokens:]
+    src_size = int(round(patches.shape[0] ** 0.5))
+    dst_size = int(round(dst_num_patches ** 0.5))
+    if src_size == dst_size:
+        return pos_embed
+    grid = patches.reshape(src_size, src_size, dim).transpose(2, 0, 1)
+    grid = bicubic_resize(grid, (dst_size, dst_size))
+    flat = grid.transpose(1, 2, 0).reshape(1, -1, dim)
+    return np.concatenate([extra, flat], axis=1)

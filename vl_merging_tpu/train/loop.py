@@ -181,9 +181,11 @@ class Trainer:
                 if step >= max_steps:
                     done = True
                     break
-                if cfg["val_check_interval"] != 1.0 and isinstance(
-                        cfg["val_check_interval"], int) and \
-                        step % cfg["val_check_interval"] == 0:
+                vci = cfg["val_check_interval"]
+                if isinstance(vci, float) and vci < 1.0:
+                    vci = max(1, int(steps_per_epoch * vci))
+                if vci != 1.0 and isinstance(vci, int) and \
+                        step % vci == 0:
                     self._validate_and_checkpoint(datamodule, step)
             epoch += 1
             if not done or cfg["fast_dev_run"]:
