@@ -143,3 +143,15 @@ def test_imagenet1k_img_cls_fit(root, tmp_path):
 
     main(cli_args(root, str(tmp_path / "logs"), datasets=["imagenet1k"],
                   loss_names={"img_cls": 1}, image_only=True))
+
+
+def test_validate_only_recall_with_itm_rerank(root, tmp_path):
+    """Trainer wires itm_rerank_topk through to the recall pipeline."""
+    from vl_merging_tpu.run import main
+
+    # itm needs ifm's logits for hard negatives (same as the reference's
+    # msrvtt config: irtr + ifm + itm)
+    main(cli_args(root, str(tmp_path / "logs"), datasets=["f30k"],
+                  loss_names={"irtr": 1, "ifm": 1, "itm": 1},
+                  get_recall_metric=True,
+                  itm_rerank_topk=2, validation_only=True))

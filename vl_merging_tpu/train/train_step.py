@@ -91,6 +91,11 @@ def compute_losses(
         out.update(objectives.compute_irtr(
             params, spec, batch, train=train, rng=keys[5]))
     if "itm" in tasks:
+        if "ifm_i2t_logits" not in out:
+            raise ValueError(
+                "itm requires ifm in loss_names: hard negatives are sampled "
+                "from ifm's similarity logits (reference "
+                "vilt_module.py:1509-1510)")
         out.update(objectives.compute_itm_hardneg(
             params, spec, batch, out["ifm_i2t_logits"], out["ifm_t2i_logits"],
             train=train, rng=keys[6]))
