@@ -155,3 +155,12 @@ def test_validate_only_recall_with_itm_rerank(root, tmp_path):
                   loss_names={"irtr": 1, "ifm": 1, "itm": 1},
                   get_recall_metric=True,
                   itm_rerank_topk=2, validation_only=True))
+
+
+def test_fit_with_grad_accumulation(root, tmp_path):
+    """batch_size > per_device*devices → accumulation path through Trainer."""
+    from vl_merging_tpu.run import main
+
+    # 8 devices × per_device 1 = 8; batch_size 16 → accum_steps 2
+    main(cli_args(root, str(tmp_path / "logs"), datasets=["f30k"],
+                  loss_names={"irtr": 1}, batch_size=16, max_steps=1))

@@ -196,9 +196,14 @@ class Trainer:
     def _stack_micro(self, micro_buf):
         if self.accum_steps == 1:
             return device_feed(micro_buf[0], self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         feeds = [device_feed(b, None) for b in micro_buf]
-        stacked = {k: jnp.stack([f[k] for f in feeds]) for k in feeds[0]}
-        return stacked
+        # (accum, micro, …): batch axis 1 shards over the mesh
+        sh = NamedSharding(self.mesh,
+                           P(None, (parallel.DATA_AXIS, parallel.FSDP_AXIS)))
+        return {k: jax.device_put(jnp.stack([f[k] for f in feeds]), sh)
+                for k in feeds[0]}
 
     def _wrapup_train_epoch(self, acc: MetricAccumulator, step: int) -> None:
         computed = acc.compute()
