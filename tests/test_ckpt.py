@@ -50,10 +50,12 @@ def test_vlmo_surgery_resolution_change():
     np.testing.assert_array_equal(
         out["relative_position_bias_table"][-non_image:],
         sd["relative_position_bias_table"][-non_image:])
-    # text position embeddings truncated, index buffers gone
+    # text position embeddings truncated, index buffers gone; position_ids
+    # kept but truncated like the reference (vilt_module.py:758-759) — the
+    # schema filter in io.state_dict_to_params drops it at load time
     assert out["text_embeddings.position_embeddings.weight"].shape[0] == 24
     assert "relative_position_index" not in out
-    assert "text_embeddings.position_ids" not in out
+    assert out["text_embeddings.position_ids"].shape == (1, 24)
 
 
 def test_beit_table_import_shared():
@@ -240,3 +242,25 @@ def test_beit_pipeline_into_all_moe(tmp_path):
     # table rebuilt to the fused layout
     assert params["relative_position_bias_table"].shape == \
         (spec.all_num_relative_distance, spec.num_heads * spec.num_layers)
+
+
+def test_nlvr2_token_type_expansion():
+    """(2, hs) pretrain table → (3, hs) with row 2 ← row 1
+    (reference vilt_module.py:332-337)."""
+    from vl_merging_tpu.ckpt.pipeline import expand_token_types
+
+    class FakeSpec:
+        token_type_count = 3
+
+    tt = np.arange(16, dtype=np.float32).reshape(2, 8)
+    out = expand_token_types({"token_type_embeddings.weight": tt}, FakeSpec())
+    got = out["token_type_embeddings.weight"]
+    assert got.shape == (3, 8)
+    np.testing.assert_array_equal(got[0], tt[0])
+    np.testing.assert_array_equal(got[1], tt[1])
+    np.testing.assert_array_equal(got[2], tt[1])
+
+    # already 3 rows (e.g. an nlvr2 test checkpoint) → untouched
+    tt3 = np.arange(24, dtype=np.float32).reshape(3, 8)
+    out3 = expand_token_types({"token_type_embeddings.weight": tt3}, FakeSpec())
+    np.testing.assert_array_equal(out3["token_type_embeddings.weight"], tt3)

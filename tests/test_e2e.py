@@ -70,6 +70,34 @@ def test_nlvr2_fit(root, tmp_path):
                   loss_names={"nlvr2": 1}))
 
 
+def test_nlvr2_finetune_from_pretrain_ckpt(root, tmp_path):
+    """The path users actually take: 2-type pretrain → NLVR2 fine-tune.
+
+    The pretrain checkpoint's (2, hs) token-type table must be expanded to
+    (3, hs) with row 2 ← row 1 (reference vilt_module.py:332-337)."""
+    import torch
+
+    from vl_merging_tpu.run import main
+
+    pre_dir = str(tmp_path / "pre")
+    main(cli_args(root, pre_dir, datasets=["f30k"],
+                  loss_names={"itm": 1, "mlm": 1}, max_steps=1))
+    exp = os.listdir(pre_dir)[0]
+    ckpt = os.path.join(pre_dir, exp, "checkpoints", "last", "weights.ckpt")
+    pre_tt = torch.load(ckpt, weights_only=False)["state_dict"][
+        "token_type_embeddings.weight"]
+    assert pre_tt.shape[0] == 2
+
+    ft_dir = str(tmp_path / "ft")
+    main(cli_args(root, ft_dir, datasets=["nlvr2"],
+                  loss_names={"nlvr2": 1}, load_path=ckpt, max_steps=1))
+    exp = os.listdir(ft_dir)[0]
+    ft_ckpt = os.path.join(ft_dir, exp, "checkpoints", "last", "weights.ckpt")
+    ft_tt = torch.load(ft_ckpt, weights_only=False)["state_dict"][
+        "token_type_embeddings.weight"]
+    assert ft_tt.shape[0] == 3
+
+
 def test_gram_cache_cli(root, tmp_path):
     """Gram caching over an all_moe model; keys match reference naming."""
     from vl_merging_tpu.cache_gram_matrices import main

@@ -164,15 +164,18 @@ def test_task_vector_bit_identical_to_torch():
         sd, central, num_layers=N_LAYERS,
         vlffn_start_layer_index=VLFFN_START, loss_names={"itm": 1},
         sum_lambda=lam)
-    # torch oracle: w = c + λ Σ_t (w_t − c), accumulated in expert order
+    # torch oracle replicating the reference's in-place aliasing of the
+    # central tensor (vilt_module.py:700-710): later_weight IS the central
+    # tensor, so each modality's += sees the previous update — a sequential
+    # lerp t ← t + λ(w_t − t).  See tests/test_reference_parity.py for the
+    # executed-reference version of this check.
     for i in range(N_LAYERS):
         tasks = ["v", "l"] if i < VLFFN_START else ["v", "l", "vl"]
         k = f"transformer.blocks.{i}.mlp.fc1.weight"
         ke = f"transformer.blocks.{i}.mlp.{{}}.fc1.weight"
         acc = torch.from_numpy(central[k]).clone()
         for t in tasks:
-            acc += lam * (torch.from_numpy(sd[ke.format(t)])
-                          - torch.from_numpy(central[k]))
+            acc += lam * (torch.from_numpy(sd[ke.format(t)]) - acc)
         np.testing.assert_array_equal(got[k], acc.numpy(), err_msg=k)
 
 

@@ -1,0 +1,435 @@
+"""Bit-identity tests against the EXECUTED reference code.
+
+Unlike tests/test_merging.py (whose torch oracle is a re-derivation of the
+published rules and could share a misreading with the implementation), these
+tests extract the actual method bodies from
+/root/reference/src/vilt/modules/vilt_module.py via ast, execute them with a
+faked ``self`` (the methods are pure state-dict → state-dict and only need
+``self.hparams.config`` plus a few shape-bearing attributes), and assert
+byte-equality with vl_merging_tpu's implementations.
+
+Covered: merge_weights (vilt_module.py:533-638), sum_task_vectors (:640-746)
+including its sequential in-place-lerp aliasing semantics, regmean (:366-531)
+including the stale-count fallback quirk, modify_checkpoint_vlmo (:749-806),
+and modify_checkpoint_beit (:808-972).
+"""
+
+import ast
+import os
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from vl_merging_tpu.ckpt import surgery
+from vl_merging_tpu.merging import core
+
+REF = "/root/reference/src/vilt/modules/vilt_module.py"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not present")
+
+HS = 8
+MLP = 16
+N_LAYERS = 12      # the reference merging loops hard-code range(12)
+VLFFN_START = 10
+
+
+def _extract(name):
+    """Compile one method of ViLTransformerSS as a standalone function."""
+    with open(REF) as f:
+        tree = ast.parse(f.read())
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "ViLTransformerSS")
+    fn = next(n for n in cls.body
+              if isinstance(n, ast.FunctionDef) and n.name == name)
+    ns = {"torch": torch, "rank_zero_info": lambda *a, **k: None,
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), REF, "exec"), ns)
+    return ns[name]
+
+
+def _fake_self(config, **attrs):
+    me = types.SimpleNamespace(**attrs)
+    me.hparams = types.SimpleNamespace(config=config)
+    return me
+
+
+def _to_torch(sd):
+    return {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}
+
+
+def _assert_state_dicts_equal(got_np, want_torch):
+    want = {k: v.numpy() if isinstance(v, torch.Tensor) else v
+            for k, v in want_torch.items()}
+    assert set(got_np) == set(want), (
+        sorted(set(got_np) ^ set(want))[:10])
+    for k in want:
+        assert got_np[k].dtype == want[k].dtype, (k, got_np[k].dtype, want[k].dtype)
+        np.testing.assert_array_equal(got_np[k], want[k], err_msg=k)
+
+
+def make_expert_state(seed=0, dtype=np.float32, skip=()):
+    """12-layer all_moe state dict in the reference key layout.
+
+    ``skip`` = set of (layer, modality) pairs whose expert keys are omitted
+    (to exercise the fallback paths); merged keys are always present so the
+    fallback has something to read.
+    """
+    rng = np.random.RandomState(seed)
+    sd = {"text_embeddings.word_embeddings.weight":
+          rng.randn(50, HS).astype(dtype),
+          "transformer.norm.weight": rng.randn(HS).astype(dtype)}
+    for i in range(N_LAYERS):
+        p = f"transformer.blocks.{i}"
+        tasks = ("v", "l") if i < VLFFN_START else ("v", "l", "vl")
+        for t in tasks:
+            if (i, t) in skip:
+                continue
+            sd[f"{p}.attn.{t}.qkv.weight"] = rng.randn(3 * HS, HS).astype(dtype)
+            sd[f"{p}.attn.{t}.q_bias"] = rng.randn(HS).astype(dtype)
+            sd[f"{p}.attn.{t}.v_bias"] = rng.randn(HS).astype(dtype)
+            sd[f"{p}.attn.{t}.proj.weight"] = rng.randn(HS, HS).astype(dtype)
+            sd[f"{p}.attn.{t}.proj.bias"] = rng.randn(HS).astype(dtype)
+            sd[f"{p}.mlp.{t}.fc1.weight"] = rng.randn(MLP, HS).astype(dtype)
+            sd[f"{p}.mlp.{t}.fc1.bias"] = rng.randn(MLP).astype(dtype)
+            sd[f"{p}.mlp.{t}.fc2.weight"] = rng.randn(HS, MLP).astype(dtype)
+            sd[f"{p}.mlp.{t}.fc2.bias"] = rng.randn(HS).astype(dtype)
+            for norm in ("norm1", "norm2"):
+                sd[f"{p}.{norm}.{t}.weight"] = rng.randn(HS).astype(dtype)
+                sd[f"{p}.{norm}.{t}.bias"] = rng.randn(HS).astype(dtype)
+        # merged (expert-free) keys — fallback targets
+        for k, shape in _merged_shapes().items():
+            sd[f"{p}.{k}"] = rng.randn(*shape).astype(dtype)
+        sd[f"{p}.gamma_1"] = rng.randn(HS).astype(dtype)
+        sd[f"{p}.gamma_2"] = rng.randn(HS).astype(dtype)
+    return sd
+
+
+def _merged_shapes():
+    return {
+        "attn.qkv.weight": (3 * HS, HS), "attn.q_bias": (HS,),
+        "attn.v_bias": (HS,), "attn.proj.weight": (HS, HS),
+        "attn.proj.bias": (HS,), "mlp.fc1.weight": (MLP, HS),
+        "mlp.fc1.bias": (MLP,), "mlp.fc2.weight": (HS, MLP),
+        "mlp.fc2.bias": (HS,), "norm1.weight": (HS,), "norm1.bias": (HS,),
+        "norm2.weight": (HS,), "norm2.bias": (HS,),
+    }
+
+
+def make_central_state(seed=1, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for i in range(N_LAYERS):
+        p = f"transformer.blocks.{i}"
+        for k, shape in _merged_shapes().items():
+            sd[f"{p}.{k}"] = rng.randn(*shape).astype(dtype)
+    return sd
+
+
+def _loss_names(**kw):
+    base = {k: 0 for k in ["itm", "ifm", "mlm", "vqa", "nlvr2", "irtr", "mim",
+                           "image_only_mim", "text_only_mlm", "img_cls"]}
+    base.update(kw)
+    return base
+
+
+@pytest.mark.parametrize("ratio,losses,oaue", [
+    (0.3, {"itm": 1, "mlm": 1}, False),
+    (0.5, {"vqa": 1}, True),
+    (0.25, {"irtr": 1}, True),
+])
+def test_merge_weights_vs_executed_reference(ratio, losses, oaue):
+    ref_fn = _extract("merge_weights")
+    sd = make_expert_state()
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "only_activate_used_experts": oaue,
+           "loss_names": _loss_names(**losses), "merge_ratio": ratio}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.merge_weights(
+        sd, num_layers=N_LAYERS, vlffn_start_layer_index=VLFFN_START,
+        loss_names=cfg["loss_names"], merge_ratio=ratio,
+        only_activate_used_experts=oaue)
+    _assert_state_dicts_equal(got, want)
+
+
+def test_merge_weights_fallback_vs_executed_reference():
+    """A missing expert key falls back to the pre-merged weight."""
+    ref_fn = _extract("merge_weights")
+    sd = make_expert_state(skip={(3, "l"), (11, "vl")})
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "only_activate_used_experts": False,
+           "loss_names": _loss_names(itm=1), "merge_ratio": 0.4}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.merge_weights(
+        sd, num_layers=N_LAYERS, vlffn_start_layer_index=VLFFN_START,
+        loss_names=cfg["loss_names"], merge_ratio=0.4)
+    _assert_state_dicts_equal(got, want)
+
+
+@pytest.mark.parametrize("lam", [0.75, 1.0])
+def test_sum_task_vectors_vs_executed_reference(tmp_path, lam):
+    """Pins the sequential in-place lerp: the reference aliases the central
+    tensor, so t ← t + λ(w_m − t) per modality (λ=1 ⇒ last expert wins)."""
+    ref_fn = _extract("sum_task_vectors")
+    sd = make_expert_state()
+    central = make_central_state()
+    path = str(tmp_path / "central.ckpt")
+    torch.save({"state_dict": _to_torch(central)}, path)
+
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "only_activate_used_experts": False,
+           "loss_names": _loss_names(itm=1),
+           "sum_lambda": lam, "central_weight": path}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.sum_task_vectors(
+        sd, central, num_layers=N_LAYERS,
+        vlffn_start_layer_index=VLFFN_START,
+        loss_names=cfg["loss_names"], sum_lambda=lam)
+    _assert_state_dicts_equal(got, want)
+    # λ=1 sanity: deep layers collapse to the LAST expert (vl) — only up to
+    # f32 rounding, since t + 1·(w − t) ≠ w exactly in float arithmetic
+    if lam == 1.0:
+        np.testing.assert_allclose(
+            got["transformer.blocks.11.mlp.fc1.weight"],
+            sd["transformer.blocks.11.mlp.vl.fc1.weight"],
+            rtol=1e-5, atol=1e-6)
+
+
+def test_sum_task_vectors_fallback_vs_executed_reference(tmp_path):
+    ref_fn = _extract("sum_task_vectors")
+    sd = make_expert_state(skip={(0, "v"), (11, "vl")})
+    central = make_central_state()
+    path = str(tmp_path / "central.ckpt")
+    torch.save(_to_torch(central), path)  # raw (no "state_dict" wrapper)
+
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "only_activate_used_experts": False,
+           "loss_names": _loss_names(itm=1),
+           "sum_lambda": 0.5, "central_weight": path}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.sum_task_vectors(
+        sd, central, num_layers=N_LAYERS,
+        vlffn_start_layer_index=VLFFN_START,
+        loss_names=cfg["loss_names"], sum_lambda=0.5)
+    _assert_state_dicts_equal(got, want)
+
+
+def _make_grams(seed=7, skip=()):
+    rng = np.random.RandomState(seed)
+    grams = {}
+    for i in range(N_LAYERS):
+        tasks = ("v", "l") if i < VLFFN_START else ("v", "l", "vl")
+        p = f"transformer.blocks.{i}"
+        for t in tasks:
+            for mod, d in [(f"attn.{t}", HS), (f"attn.{t}.proj", HS),
+                           (f"mlp.{t}.fc1", HS), (f"mlp.{t}.fc2", MLP)]:
+                if (i, t) in skip:
+                    continue
+                X = rng.randn(64, d)
+                grams[f"{p}.{mod}"] = X.T @ X  # float64 like the ref cache
+    return grams
+
+
+@pytest.mark.parametrize("scaling,losses", [
+    (1.0, {"itm": 1}),
+    (0.9, {"itm": 1}),
+    (1.0, {"irtr": 1}),   # regmean hard-codes the used-expert restriction
+    (0.7, {"vqa": 1}),
+])
+def test_regmean_vs_executed_reference(tmp_path, scaling, losses):
+    ref_fn = _extract("regmean")
+    sd = make_expert_state()
+    grams = _make_grams()
+    path = str(tmp_path / "grams.pth")
+    torch.save(_to_torch(grams), path)
+
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "loss_names": _loss_names(**losses),
+           "scaling_for_non_diag": scaling, "gram_matrices": path}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.regmean(
+        sd, grams, num_layers=N_LAYERS,
+        vlffn_start_layer_index=VLFFN_START, loss_names=cfg["loss_names"],
+        scaling_for_non_diag=scaling)
+    _assert_state_dicts_equal(got, want)
+
+
+def test_regmean_missing_gram_vs_executed_reference(tmp_path):
+    """Expert present in state dict but absent from gram cache → skipped."""
+    ref_fn = _extract("regmean")
+    sd = make_expert_state()
+    grams = _make_grams(skip={(0, "l"), (11, "v")})
+    path = str(tmp_path / "grams.pth")
+    torch.save(_to_torch(grams), path)
+
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "loss_names": _loss_names(itm=1),
+           "scaling_for_non_diag": 1.0, "gram_matrices": path}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.regmean(
+        sd, grams, num_layers=N_LAYERS,
+        vlffn_start_layer_index=VLFFN_START, loss_names=cfg["loss_names"],
+        scaling_for_non_diag=1.0)
+    _assert_state_dicts_equal(got, want)
+
+
+def test_regmean_stale_count_fallback_quirk_vs_executed_reference(tmp_path):
+    """Missing expert AFTER partial accumulation: the reference divides the
+    fallback bias by the stale count and multiplies the fallback matmul
+    weight by inv(partial gram).  f64 state dict so the reference's
+    mixed-dtype matmul can actually execute."""
+    ref_fn = _extract("regmean")
+    sd = make_expert_state(dtype=np.float64, skip={(11, "vl")})
+    grams = _make_grams()
+    path = str(tmp_path / "grams.pth")
+    torch.save(_to_torch(grams), path)
+
+    cfg = {"vlffn_start_layer_index": VLFFN_START,
+           "loss_names": _loss_names(itm=1),
+           "scaling_for_non_diag": 1.0, "gram_matrices": path}
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = core.regmean(
+        sd, grams, num_layers=N_LAYERS,
+        vlffn_start_layer_index=VLFFN_START, loss_names=cfg["loss_names"],
+        scaling_for_non_diag=1.0)
+    _assert_state_dicts_equal(got, want)
+    # and the quirk really fired: fallback bias divided by 2
+    np.testing.assert_array_equal(
+        got["transformer.blocks.11.mlp.fc1.bias"],
+        sd["transformer.blocks.11.mlp.fc1.bias"] / 2)
+
+
+def _rel_table_rows(window, text_rel):
+    num_rel = (2 * window - 1) ** 2 + 3
+    return num_rel + text_rel + 2
+
+
+@pytest.mark.parametrize("src_img,dst_img", [(224, 384), (224, 224)])
+def test_modify_checkpoint_vlmo_vs_executed_reference(src_img, dst_img):
+    ref_fn = _extract("modify_checkpoint_vlmo")
+    max_text_len, ckpt_text_len = 40, 196
+    text_rel = 2 * max_text_len - 1
+    src_w, dst_w = src_img // 16, dst_img // 16
+    src_rows = _rel_table_rows(src_w, text_rel)
+    dst_rows = _rel_table_rows(dst_w, text_rel)
+
+    rng = np.random.RandomState(5)
+    heads_layers = 3 * 4
+    sd = {
+        "text_embeddings.position_embeddings.weight":
+            rng.randn(ckpt_text_len, HS).astype(np.float32),
+        "text_embeddings.position_ids":
+            np.arange(ckpt_text_len, dtype=np.int64)[None],
+        "relative_position_bias_table":
+            rng.randn(src_rows, heads_layers).astype(np.float32),
+        "relative_position_index": np.zeros((4, 4), np.int64),
+        "text_relative_position_index": np.zeros((4, 4), np.int64),
+        "text_imag_relative_position_index": np.zeros((4, 4), np.int64),
+        "transformer.norm.weight": rng.randn(HS).astype(np.float32),
+    }
+
+    me = _fake_self({})
+    me.max_text_len = max_text_len
+    me.text_num_relative_distance = text_rel
+    me.relative_position_bias_table = torch.zeros(dst_rows, heads_layers)
+    me.transformer = types.SimpleNamespace(
+        patch_embed=types.SimpleNamespace(patch_shape=(dst_w, dst_w)))
+    want = ref_fn(me, _to_torch(sd))
+
+    got = surgery.modify_checkpoint_vlmo(
+        sd, max_text_len=max_text_len,
+        text_num_relative_distance=text_rel, target_table_rows=dst_rows)
+    _assert_state_dicts_equal(got, want)
+
+
+@pytest.mark.parametrize("shared_table,use_moe,clone", [
+    (True, True, True),
+    (False, False, False),
+])
+def test_modify_checkpoint_beit_vs_executed_reference(shared_table, use_moe,
+                                                      clone):
+    ref_fn = _extract("modify_checkpoint_beit")
+    n_layers, n_heads = 4, 3
+    src_w, dst_w = 4, 6
+    text_rel = 2 * 8 - 1
+    dst_rows = _rel_table_rows(dst_w, text_rel)
+    rng = np.random.RandomState(9)
+
+    sd = {"transformer.norm.weight": rng.randn(HS).astype(np.float32)}
+    for i in range(n_layers):
+        p = f"transformer.blocks.{i}"
+        sd[f"{p}.mlp.fc1.weight"] = rng.randn(MLP, HS).astype(np.float32)
+        sd[f"{p}.mlp.fc1.bias"] = rng.randn(MLP).astype(np.float32)
+        sd[f"{p}.attn.qkv.weight"] = rng.randn(3 * HS, HS).astype(np.float32)
+        sd[f"{p}.attn.q_bias"] = rng.randn(HS).astype(np.float32)
+        sd[f"{p}.norm1.weight"] = rng.randn(HS).astype(np.float32)
+    src_rows = (2 * src_w - 1) ** 2 + 3
+    if shared_table:
+        sd["transformer.rel_pos_bias.relative_position_bias_table"] = \
+            rng.randn(src_rows, n_heads).astype(np.float32)
+        sd["transformer.rel_pos_bias.relative_position_index"] = \
+            np.zeros((4, 4), np.int64)
+    else:
+        for i in range(n_layers):
+            sd[f"transformer.blocks.{i}.attn.relative_position_bias_table"] = \
+                rng.randn(src_rows, n_heads).astype(np.float32)
+            sd[f"transformer.blocks.{i}.attn.relative_position_index"] = \
+                np.zeros((4, 4), np.int64)
+    sd["transformer.fc_norm.weight"] = rng.randn(HS).astype(np.float32)
+    sd["transformer.fc_norm.bias"] = rng.randn(HS).astype(np.float32)
+
+    target_table = rng.randn(dst_rows, n_heads * n_layers).astype(np.float32)
+    cfg = {"num_layers": n_layers, "use_moe": use_moe,
+           "use_custom_ln_attn": use_moe, "use_custom_ln_ffn": use_moe,
+           "use_vision_weights_for_other_modalities": clone,
+           "vlffn_start_layer_index": 2}
+    me = _fake_self(cfg)
+    me.relative_position_bias_table = torch.from_numpy(target_table)
+    me.transformer = types.SimpleNamespace(
+        patch_embed=types.SimpleNamespace(patch_shape=(dst_w, dst_w)))
+    me.text_num_relative_distance = text_rel
+    me.moe_config = types.SimpleNamespace(in_ffn=True, in_attn=True)
+    want = ref_fn(me, {"state_dict": _to_torch(sd)})
+
+    got = surgery.modify_checkpoint_beit(
+        sd, num_layers=n_layers, target_table=target_table,
+        text_num_relative_distance=text_rel,
+        use_moe=use_moe, moe_in_ffn=True, moe_in_attn=use_moe,
+        custom_ln_attn=use_moe, custom_ln_ffn=use_moe,
+        use_vision_weights_for_other_modalities=clone,
+        vlffn_start_layer_index=2)
+    _assert_state_dicts_equal(got, want)
+
+
+def test_gram_accumulation_vs_torch_hook_oracle():
+    """train.gram.gram_f64 must match a REAL torch forward hook doing the
+    reference's math (cache_gram_matrices.py:246-254) bit-for-bit on
+    identical activations."""
+    import torch.nn as nn
+
+    from vl_merging_tpu.train.gram import gram_f64
+
+    lin = nn.Linear(8, 4).double()  # dtype of the weight is irrelevant
+    lin = lin.float()
+    acc = {}
+
+    def hook_gram_input(module, input, output):
+        if isinstance(input, tuple):
+            input = input[0]
+        flatten_input = input.reshape(-1, input.shape[-1]).to(torch.float64)
+        gram = torch.matmul(flatten_input.T, flatten_input)
+        acc["g"] = acc.get("g", 0) + gram.detach().cpu()
+
+    lin.register_forward_hook(hook_gram_input)
+
+    rng = np.random.RandomState(11)
+    batches = [rng.randn(3, 5, 8).astype(np.float32) for _ in range(4)]
+    for b in batches:
+        lin(torch.from_numpy(b))
+
+    mine = 0
+    for b in batches:
+        mine = mine + gram_f64(b)
+    np.testing.assert_array_equal(mine, acc["g"].numpy())
+    assert mine.dtype == np.float64

@@ -41,7 +41,8 @@ def main(argv=None) -> None:
 
     batches = (device_feed(b) for b in loader)
     grams = cache_gram_matrices(params, spec, cfg, batches,
-                                limit_batches=limit)
+                                limit_batches=limit,
+                                precision=cfg["gram_precision"])
 
     os.makedirs(cfg["log_dir"], exist_ok=True)
     out = os.path.join(cfg["log_dir"], f"{cfg['representation_name']}.pth")

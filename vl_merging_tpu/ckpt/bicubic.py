@@ -4,8 +4,15 @@ Torch's bicubic (align_corners=False) uses the Keys cubic convolution kernel
 with A = -0.75, half-pixel source coordinates, and border clamping.  The
 reference uses it to rescale the image block of the shared relative-position
 bias table when changing input resolution (reference:
-src/vilt/modules/vilt_module.py:797-804, 863-866); we reproduce it in NumPy
-so checkpoint surgery has no framework dependency.
+src/vilt/modules/vilt_module.py:797-804, 863-866).
+
+``bicubic_resize`` routes through torch CPU when torch is importable —
+checkpoint surgery is offline host work, and bit-identity with the
+reference's ``F.interpolate`` matters (surgery output feeds fine-tuning, and
+merged-checkpoint parity is judged byte-for-byte).  The NumPy path below is
+the dependency-free fallback; it implements the same kernel in float64 and
+agrees with torch to f32 rounding (~1e-5), not bit-exactly, because torch
+computes its tap weights in float32.
 """
 
 from __future__ import annotations
@@ -13,6 +20,23 @@ from __future__ import annotations
 import numpy as np
 
 _A = -0.75
+
+
+def _torch_bicubic(arr: np.ndarray, out_hw) -> "np.ndarray | None":
+    try:
+        import torch
+    except ImportError:
+        return None
+    t = torch.from_numpy(np.ascontiguousarray(arr))
+    squeeze = 0
+    while t.ndim < 4:           # F.interpolate wants (N, C, H, W)
+        t = t.unsqueeze(0)
+        squeeze += 1
+    out = torch.nn.functional.interpolate(
+        t, size=tuple(out_hw), mode="bicubic")
+    for _ in range(squeeze):
+        out = out.squeeze(0)
+    return out.numpy()
 
 
 def _cubic_weights(t: np.ndarray) -> np.ndarray:
@@ -50,8 +74,14 @@ def _resize_axis(arr: np.ndarray, out_size: int, axis: int) -> np.ndarray:
 
 
 def bicubic_resize(arr: np.ndarray, out_hw) -> np.ndarray:
-    """Resize the last two axes of ``arr`` to ``out_hw`` (torch-equivalent
-    separable bicubic, float64 internally)."""
+    """Resize the last two axes of ``arr`` to ``out_hw``.
+
+    Bit-identical to ``torch.nn.functional.interpolate(mode='bicubic')``
+    when torch is available (always, in practice); NumPy f64 fallback
+    matches within f32 rounding."""
+    via_torch = _torch_bicubic(arr, out_hw)
+    if via_torch is not None:
+        return via_torch
     out_h, out_w = out_hw
     dtype = arr.dtype
     out = _resize_axis(arr, out_h, arr.ndim - 2)

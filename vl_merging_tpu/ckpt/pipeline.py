@@ -81,6 +81,22 @@ def apply_merging(cfg: Dict, spec: ModelSpec,
     return sd
 
 
+def expand_token_types(sd: Dict[str, np.ndarray],
+                       spec: ModelSpec) -> Dict[str, np.ndarray]:
+    """NLVR2 fine-tune from a 2-type pretrain checkpoint.
+
+    The reference rebuilds ``token_type_embeddings`` with 3 rows after the
+    checkpoint load and copies the loaded row 1 into row 2
+    (vilt_module.py:332-337); here the expansion happens on the state dict
+    before it is mapped onto the 3-row schema.
+    """
+    k = "token_type_embeddings.weight"
+    if spec.token_type_count == 3 and k in sd and sd[k].shape[0] == 2:
+        sd = dict(sd)
+        sd[k] = np.concatenate([sd[k], sd[k][1:2]], axis=0)
+    return sd
+
+
 def load_params(
     cfg: Dict, spec: ModelSpec, *, seed: Optional[int] = None,
 ) -> Tuple[Params, List[str], List[str]]:
@@ -95,6 +111,7 @@ def load_params(
     sd = io.load_torch_checkpoint(cfg["load_path"])
     sd = adapt_state_dict(cfg, spec, sd, for_eval=for_eval)
     sd = apply_merging(cfg, spec, sd, for_eval=for_eval)
+    sd = expand_token_types(sd, spec)
     loaded, missing, unexpected = io.state_dict_to_params(sd, spec)
     params.update(loaded)
     return params, missing, unexpected

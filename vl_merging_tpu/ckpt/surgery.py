@@ -27,18 +27,18 @@ from .bicubic import bicubic_resize
 
 StateDict = Dict[str, np.ndarray]
 
-# Buffers registered by the reference module that must not be loaded as
-# params (vilt_module.py:779-781).
+# Exactly the reference's pop_keys list (vilt_module.py:779-781).  Note it
+# does NOT include text_embeddings.position_ids (kept, truncated) nor
+# vl_text_imag_relative_position_index; the schema filter in io.py drops any
+# remaining non-param buffers at load time.
 INDEX_BUFFER_KEYS = (
     "relative_position_index",
     "text_relative_position_index",
     "text_imag_relative_position_index",
-    "vl_text_imag_relative_position_index",
     "video_relative_position_index",
     "text_video_relative_position_index",
     "temporal_relative_position_index",
     "mask_for_combining_temporal",
-    "text_embeddings.position_ids",
 )
 
 
@@ -70,6 +70,9 @@ def modify_checkpoint_vlmo(
     pe = sd.get("text_embeddings.position_embeddings.weight")
     if pe is not None and pe.shape[0] != max_text_len:
         sd["text_embeddings.position_embeddings.weight"] = pe[:max_text_len]
+        pid = sd.get("text_embeddings.position_ids")
+        if pid is not None:
+            sd["text_embeddings.position_ids"] = pid[:, :max_text_len]
     _pop_index_buffers(sd)
 
     table = sd["relative_position_bias_table"]

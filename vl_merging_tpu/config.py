@@ -147,6 +147,9 @@ def base_config() -> ConfigDict:
         get_block_representation=False,
         get_finegrained_representation=False,
         representation_name="tmp",
+        # "f64_host" = reference-parity f64(x)ᵀf64(x) per hook call
+        # (cache_gram_matrices.py:251-252); "f32_device" = fast approximate
+        gram_precision="f64_host",
 
         # Checkpoint source flavors
         use_beit_weight=False,

@@ -125,8 +125,20 @@ def sum_task_vectors(
     sum_lambda: float = 1.0,
     only_activate_used_experts: bool = False,
 ) -> StateDict:
-    """Modality arithmetic: w = w_central + λ·Σ_t (w_t − w_central)
-    around a separately loaded central checkpoint (vilt_module.py:640-746)."""
+    """Modality arithmetic around a separately loaded central checkpoint
+    (vilt_module.py:640-746).
+
+    The reference aliases the central tensor (`later_weight =
+    central_weight[later_name]`) and updates it **in place**, so each
+    modality's task vector is taken against the already-updated value — a
+    sequential lerp, not a sum:
+
+        t ← t + λ·(w_m − t)   for each modality m, starting from t = w_central
+
+    (with λ=1 this collapses to the *last* expert's weights).  Replicated
+    exactly; verified bit-identical against the executed reference code in
+    tests/test_reference_parity.py.
+    """
     new = _passthrough(state_dict)
     for i in range(num_layers):
         mods = modalities_for_layer(i, vlffn_start_layer_index, loss_names,
@@ -142,8 +154,7 @@ def sum_task_vectors(
                 for m in mods:
                     name = name_fn(m)
                     if name in state_dict:
-                        acc = acc + ratios[m] * (
-                            state_dict[name] - central_weight[merged_name])
+                        acc = acc + ratios[m] * (state_dict[name] - acc)
                     else:
                         acc = state_dict[merged_name]
                         break
@@ -230,6 +241,12 @@ def regmean(
         return ["v", "l", "vl"]
 
     def gram_merge(i, mods, expert_t, merged_name, gram_suffix):
+        # Mirrors the reference control flow exactly, including its quirk:
+        # an expert key missing AFTER a partial gram accumulation leaves
+        # summed_gram non-empty, so the fallback merged weight still gets
+        # multiplied by inv(partial gram).  (In torch that mixed-dtype
+        # matmul raises; here numpy promotes to f64 — the only reachable
+        # divergence, and one the reference cannot execute.)
         summed_gram: Optional[np.ndarray] = None
         acc = 0
         for m in mods:
@@ -246,14 +263,18 @@ def regmean(
                 acc = acc + la.matmul(state_dict[name].astype(np.float64), G)
             else:
                 acc = state_dict[merged_name]
-                summed_gram = None
                 break
         if summed_gram is None:
             new[merged_name] = acc
         else:
-            new[merged_name] = la.matmul(acc, la.inv(summed_gram))
+            new[merged_name] = la.matmul(
+                np.asarray(acc, np.float64), la.inv(summed_gram))
 
     def avg_merge(i, mods, expert_t, merged_name, n):
+        # Reference quirk kept: on a missing expert key the loop breaks with
+        # the fallback weight but does NOT reset the count, so the fallback
+        # is divided by however many experts were summed before the break
+        # (vilt_module.py:441-457 — `num_valid_modality` survives the break).
         acc = 0
         count = 0
         for m in mods:
@@ -263,7 +284,6 @@ def regmean(
                 count += 1
             else:
                 acc = state_dict[merged_name]
-                count = 0
                 break
         new[merged_name] = acc if count == 0 else acc / count
 
