@@ -226,3 +226,101 @@ def test_wwm_statistics_match_hf(tok, root):
         sum(len(e["input_ids"]) - 2 for e in ours_enc)
     assert abs(float(hf_rate) - float(our_rate)) < 0.05, \
         (float(hf_rate), float(our_rate))
+
+
+def _write_composite_fixture(root, n_shards=2, rows_per_shard=3, caps=2):
+    """Tiny CCSV-style composite: visual + caption shard TSVs, a seq
+    linelist (src, row, cap_idx), and the yaml glue."""
+    import base64
+    import json as _json
+
+    import yaml as _yaml
+
+    from fixtures import _jpeg_bytes
+    from vl_merging_tpu.data.tsv import write_tsv
+
+    rng = np.random.RandomState(0)
+    img_files, cap_files, seq_rows = [], [], []
+    for s in range(n_shards):
+        vis_rows, cap_rows = [], []
+        for r in range(rows_per_shard):
+            key = f"img_{s}_{r}"
+            b64 = base64.b64encode(_jpeg_bytes(rng, 48)).decode()
+            vis_rows.append([key, b64])
+            cap_rows.append([key, _json.dumps(
+                [{"caption": f"caption {s} {r} {c}"} for c in range(caps)])])
+            for c in range(caps):
+                seq_rows.append(f"{s}\t{r}\t{c}")
+        write_tsv(vis_rows, os.path.join(root, f"vis_{s}.tsv"))
+        write_tsv(cap_rows, os.path.join(root, f"cap_{s}.tsv"))
+        img_files.append(f"vis_{s}.tsv")
+        cap_files.append(f"cap_{s}.tsv")
+    with open(os.path.join(root, "seq.linelist"), "w") as f:
+        f.write("\n".join(seq_rows))
+    for split in ("train_cc3m-coco-sbu-vg", "val_cc3m-coco"):
+        with open(os.path.join(root, f"{split}.yaml"), "w") as f:
+            _yaml.safe_dump({"composite": True, "img": img_files,
+                             "caption": cap_files,
+                             "caption_linelist": "seq.linelist"}, f)
+    return n_shards * rows_per_shard * caps
+
+
+def test_ccsv_composite_dataset(tmp_path):
+    """ccsv registry entry loads a yaml-driven composite
+    (reference combine_tsv_dataset.py:25-37, tsv_dataset.py:50-511)."""
+    from vl_merging_tpu.data.datasets import dataset_class
+    from vl_merging_tpu.data.text import build_tokenizer, write_tiny_vocab
+
+    root = str(tmp_path)
+    total = _write_composite_fixture(root)
+    vocab = os.path.join(root, "vocab.txt")
+    write_tiny_vocab(vocab, ["caption"] + [str(i) for i in range(4)])
+    tok = build_tokenizer(vocab)
+
+    cls = dataset_class("ccsv")
+    ds = cls(root, ["square_transform"], image_size=32, split="train",
+             max_text_len=8, tokenizer=tok, patch_size=16)
+    assert len(ds) == total
+    item = ds[0]
+    assert item["image"].shape == (3, 32, 32)
+    assert item["text"].startswith("caption")
+    # distinct captions per (row, cap_idx)
+    assert ds[0]["text"] != ds[1]["text"]
+    # last item reads the last shard through the seq indirection
+    last = ds[len(ds) - 1]
+    assert last["image"].shape == (3, 32, 32)
+
+
+def test_tsv_composite_plain_with_linelist(tmp_path):
+    """Non-composite yaml + 2-column linelist (img_row, cap_idx)."""
+    import base64
+    import json as _json
+
+    import yaml as _yaml
+
+    from fixtures import _jpeg_bytes
+    from vl_merging_tpu.data.tsv import TSVCompositeDataset, write_tsv
+
+    rng = np.random.RandomState(1)
+    root = str(tmp_path)
+    vis, cap, lines = [], [], []
+    for r in range(3):
+        b64 = base64.b64encode(_jpeg_bytes(rng, 48)).decode()
+        vis.append([f"k{r}", b64])
+        cap.append([f"k{r}", _json.dumps(
+            [{"caption": f"one {r}"}, {"caption": f"two {r}"}])])
+        lines += [f"{r}\t0", f"{r}\t1"]
+    write_tsv(vis, os.path.join(root, "vis.tsv"))
+    write_tsv(cap, os.path.join(root, "cap.tsv"))
+    with open(os.path.join(root, "ll.linelist"), "w") as f:
+        f.write("\n".join(lines))
+    with open(os.path.join(root, "data.yaml"), "w") as f:
+        _yaml.safe_dump({"img": "vis.tsv", "caption": "cap.tsv",
+                         "caption_linelist": "ll.linelist"}, f)
+
+    ds = TSVCompositeDataset(root, ["square_transform"], image_size=32,
+                             split="val", yaml_file="data.yaml",
+                             image_only=True)
+    assert len(ds) == 6
+    assert ds[3]["image"].shape == (3, 32, 32)
+    assert ds._caption(1, 1) == "two 1"

@@ -2,6 +2,7 @@
 the published architecture (bottleneck blocks, post_gain residual)."""
 
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +10,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+from vl_merging_tpu.dvae import decoder
 from vl_merging_tpu.dvae.encoder import (
     encoder_logits, get_codebook_indices, GROUP_COUNT)
 
@@ -85,3 +87,50 @@ def test_codebook_indices_shape():
     idx = jnp.argmax(logits, axis=1).reshape(2, -1)
     assert idx.shape == (2, 14 * 14)
     assert int(idx.max()) < 32
+
+
+def test_decoder_matches_reference_torch_decoder():
+    """JAX decoder vs the ACTUAL reference dall_e.Decoder on random weights
+    (reference src/dall_e/decoder.py)."""
+    import sys
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(os.path.join(ref_src, "dall_e")):
+        pytest.skip("reference checkout not present")
+    sys.path.insert(0, ref_src)
+    try:
+        from dall_e.decoder import Decoder
+    finally:
+        sys.path.remove(ref_src)
+
+    vocab, n_init, n_hid, n_blk = 64, 8, 8, 1
+    ref = Decoder(n_init=n_init, n_hid=n_hid, n_blk_per_group=n_blk,
+                  vocab_size=vocab, use_mixed_precision=False,
+                  requires_grad=False)
+    # randomize (the pickled release ships trained weights; here any values)
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+    params = {k: jnp.asarray(p.detach().numpy())
+              for k, p in ref.named_parameters()}
+
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, vocab, (2, 4, 4))
+    z = torch.nn.functional.one_hot(
+        torch.from_numpy(idx), vocab).permute(0, 3, 1, 2).float()
+    want = ref(z).detach().numpy()
+
+    got = decoder.decoder_output(
+        params, jnp.asarray(z.numpy()), n_blk_per_group=n_blk)
+    assert got.shape == want.shape == (2, 6, 32, 32)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # index→pixel convenience path
+    px = decoder.decode_indices(params, jnp.asarray(idx), vocab_size=vocab,
+                                n_blk_per_group=n_blk)
+    assert px.shape == (2, 3, 32, 32)
+    assert float(px.min()) >= 0.0 and float(px.max()) <= 1.0
+    want_px = np.clip((torch.sigmoid(torch.from_numpy(want[:, :3])).numpy()
+                       - 0.1) / 0.8, 0, 1)
+    np.testing.assert_allclose(np.asarray(px), want_px, atol=2e-5)

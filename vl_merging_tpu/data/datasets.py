@@ -284,7 +284,16 @@ def _register_video():
     _DATASETS["webvid"] = WebVidDataset
 
 
+def _register_tsv_composites():
+    from .tsv import CCSVWDataset, CCSVDataset
+
+    # reference datamodules/__init__.py:33-34
+    _DATASETS["ccsvw"] = CCSVWDataset
+    _DATASETS["ccsv"] = CCSVDataset
+
+
 _register_video()
+_register_tsv_composites()
 
 
 def dataset_class(name: str):

@@ -208,3 +208,205 @@ def write_tsv(rows: List[List[str]], path: str) -> None:
         for row in rows:
             f.write("\t".join(row) + "\n")
     generate_lineidx(path, op.splitext(path)[0] + ".lineidx")
+
+
+class SeqCompositeTSV:
+    """Seq-file composite: global row i → shards[src].row (reference
+    tsv_file.py:317-369).  ``file_list`` is a list of shard paths or a
+    listing file with one path per line; the seq file's rows are
+    ``src_idx \\t row_idx [\\t cap_idx]``."""
+
+    def __init__(self, file_list, seq_file: str, root: str = "."):
+        if isinstance(file_list, str):
+            with open(op.join(root, file_list)) as f:
+                file_list = [l.strip() for l in f if l.strip()]
+        self.file_list = list(file_list)
+        self.seq: List[tuple] = []
+        with open(seq_file) as f:
+            for line in f:
+                parts = line.strip().split("\t")
+                self.seq.append((int(parts[0]), int(parts[1])))
+        self.tsvs = [TSVFile(op.join(root, p)) for p in self.file_list]
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+    num_rows = __len__
+
+    def seek(self, idx: int) -> List[str]:
+        src, row = self.seq[idx]
+        return self.tsvs[src].seek(row)
+
+    __getitem__ = seek
+
+
+def _find_in_yaml_dir(entry, root: str):
+    if entry is None:
+        return None
+    path = entry if op.isabs(entry) else op.join(root, entry)
+    return path
+
+
+class TSVCompositeDataset:
+    """YAML-driven composite TSV dataset (reference tsv_dataset.py:50-511).
+
+    The yaml names a visual TSV and a caption TSV (single files, or shard
+    lists with ``composite: true`` + a ``caption_linelist`` seq file whose
+    rows are ``src \\t row \\t cap_idx``).  Caption rows are
+    ``key \\t json`` where json is a list of ``{"caption": ...}`` dicts;
+    visual rows carry base64 images in the last column (single-frame —
+    the reference's temporal sampling collapses to the middle frame at
+    ``size_frame=1``, which is what every shipped config uses).
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        transform_keys: List[str],
+        image_size: int,
+        split: str = "train",
+        yaml_file: Optional[str] = None,
+        patch_size: int = 16,
+        num_mask_patches: int = 75,
+        max_mask_patches_per_block: Optional[int] = None,
+        min_mask_patches_per_block: int = 16,
+        dvae_image_size: int = 112,
+        max_text_len: int = 40,
+        max_vl_text_len: Optional[int] = None,
+        draw_false_image: int = 0,
+        draw_false_text: int = 0,
+        image_only: bool = False,
+        tokenizer=None,
+        **_,
+    ):
+        import yaml as _yaml
+
+        if yaml_file is None:
+            raise ValueError("TSVCompositeDataset needs yaml_file")
+        if not op.isfile(yaml_file):
+            yaml_file = op.join(data_dir, yaml_file)
+        with open(yaml_file) as f:
+            cfg = _yaml.safe_load(f)
+        self.root = op.dirname(yaml_file)
+        self.split = split
+        self.is_composite = bool(cfg.get("composite", False))
+        cap_linelist = _find_in_yaml_dir(cfg.get("caption_linelist"),
+                                         self.root)
+
+        def open_tsv(entry):
+            if entry is None:
+                return None
+            if self.is_composite:
+                return SeqCompositeTSV(entry, cap_linelist, root=self.root)
+            return TSVFile(_find_in_yaml_dir(entry, self.root))
+
+        self.visual_tsv = open_tsv(cfg.get("img"))
+        self.cap_tsv = open_tsv(cfg.get("caption"))
+
+        if self.is_composite:
+            with open(cap_linelist) as f:
+                self.cap_line_list = [int(l.strip().split("\t")[2])
+                                      for l in f if l.strip()]
+            self.img_line_list = list(range(len(self.cap_line_list)))
+        elif cap_linelist:
+            self.img_line_list, self.cap_line_list = [], []
+            with open(cap_linelist) as f:
+                for l in f:
+                    a, b = (int(x) for x in l.strip().split("\t")[:2])
+                    self.img_line_list.append(a)
+                    self.cap_line_list.append(b)
+        else:
+            n = self.cap_tsv.num_rows() if self.cap_tsv is not None \
+                else self.visual_tsv.num_rows()
+            self.img_line_list = list(range(n))
+            self.cap_line_list = [0] * n
+
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        self._max_vl_text_len = max_vl_text_len
+        self._draw_false_text = draw_false_text
+        self.image_only = image_only
+
+        self.use_mim_transform = any(t.endswith("mim") for t in transform_keys)
+        if self.use_mim_transform:
+            window = image_size // patch_size
+            self.masked_position_generator = MaskingGenerator(
+                window, num_masking_patches=num_mask_patches,
+                max_num_patches=max_mask_patches_per_block,
+                min_num_patches=min_mask_patches_per_block)
+            self.transforms = keys_to_transforms_for_mim(
+                transform_keys, size=image_size, second_size=dvae_image_size)
+        else:
+            self.transforms = keys_to_transforms(transform_keys,
+                                                 size=image_size)
+
+    def __len__(self) -> int:
+        return len(self.img_line_list)
+
+    def _caption(self, img_idx: int, cap_idx: int) -> str:
+        row = self.cap_tsv[img_idx]
+        data = json.loads(row[1])
+        sample = data[cap_idx]
+        return sample.get("caption", "") if isinstance(sample, dict) \
+            else str(sample)
+
+    def __getitem__(self, index: int) -> Dict:
+        img_idx = self.img_line_list[index]
+        cap_idx = self.cap_line_list[index]
+        row = self.visual_tsv[img_idx]
+        img = decode_b64_image(row[-1])
+        out = [tr(img) for tr in self.transforms]
+        ret: Dict = {"img_index": img_idx, "cap_index": cap_idx,
+                     "raw_index": index}
+        if self.use_mim_transform:
+            views, targets = zip(*out)
+            ret["image"] = views[0]
+            ret["image_target"] = targets[0]
+            ret["image_masked_pos"] = \
+                self.masked_position_generator().reshape(-1)
+        else:
+            ret["image"] = out[0]
+        if not self.image_only and self.tokenizer is not None:
+            text = self._caption(img_idx, cap_idx)
+            ret["text"] = text
+            ret["encoding"] = self.tokenizer.encode(
+                text, max_length=self.max_text_len)
+        return ret
+
+    def collate(self, batch, mlm_collator):
+        from .arrow_dataset import ArrowDataset
+
+        return ArrowDataset.collate(self, batch, mlm_collator)
+
+    @property
+    def max_vl_text_len(self):
+        return self._max_vl_text_len
+
+    @property
+    def draw_false_text(self):
+        return self._draw_false_text
+
+
+class CCSVWDataset(TSVCompositeDataset):
+    """GoogleCC+COCO+SBU+VG+WebVid composite (reference
+    combine_tsv_dataset.py:6-22) — yaml picked by split."""
+
+    def __init__(self, data_dir, *args, split: str = "", **kwargs):
+        yaml_file = (
+            "train_cc3m-coco-sbu-vg-webvid2.5m_10.yaml" if split == "train"
+            else "val_cc3m-coco-webvid2.5m.yaml")
+        kwargs.pop("yaml_file", None)
+        super().__init__(data_dir, *args, split=split,
+                         yaml_file=op.join(data_dir, yaml_file), **kwargs)
+
+
+class CCSVDataset(TSVCompositeDataset):
+    """GoogleCC+COCO+SBU+VG composite (reference
+    combine_tsv_dataset.py:25-37)."""
+
+    def __init__(self, data_dir, *args, split: str = "", **kwargs):
+        yaml_file = ("train_cc3m-coco-sbu-vg.yaml" if split == "train"
+                     else "val_cc3m-coco.yaml")
+        kwargs.pop("yaml_file", None)
+        super().__init__(data_dir, *args, split=split,
+                         yaml_file=op.join(data_dir, yaml_file), **kwargs)

@@ -128,40 +128,62 @@ def itm_rerank_scores(
     Returns itc_scores with the reranked entries replaced by
     1e4·itm_logprob (so reranked candidates strictly dominate).
 
+    TPU shape: ONE jit dispatch per direction.  A ``lax.scan`` walks the
+    queries in chunks of ``max(1, pair_batch // topk)``; each scan step
+    gathers the chunk's candidate pairs on device and runs one fused
+    (chunk·topk)-batch ITM pass, so COCO-scale reranking (5k images ×
+    top-10) is ~800 compiled scan steps inside a single call instead of
+    thousands of host-dispatched ops.
+
     The reference only ships the ITM head as a pretraining loss
     (SURVEY §3.2: ranking is pure ITC); this is the standard
     ITC-rank + ITM-rerank protocol as an opt-in extension.
     """
-    pair_fn = make_itm_pair_fn(spec)
     scores = itc_scores.astype(jnp.float32)
-    if axis == 1:
-        _, cand = jax.lax.top_k(scores, topk)          # (I, k) text idx
-        n_query = scores.shape[0]
-        new = jnp.full_like(scores, -jnp.inf)
-        for start in range(0, n_query, pair_batch // topk or 1):
-            stop = min(start + max(1, pair_batch // topk), n_query)
-            q = jnp.arange(start, stop)
-            t_idx = cand[start:stop].reshape(-1)        # (nq*k,)
-            ti = jnp.take(text_ids, t_idx, axis=0)
-            tm = jnp.take(text_masks, t_idx, axis=0)
-            im = jnp.repeat(images[start:stop], topk, axis=0)
-            s = pair_fn(params, ti, tm, im).reshape(stop - start, topk)
-            new = new.at[q[:, None], cand[start:stop]].set(1e4 * s)
-        return jnp.where(jnp.isfinite(new), new, scores - 1e8)
-    else:
-        _, cand = jax.lax.top_k(scores.T, topk)         # (T, k) image idx
-        n_query = scores.shape[1]
-        new = jnp.full_like(scores.T, -jnp.inf)
-        for start in range(0, n_query, max(1, pair_batch // topk)):
-            stop = min(start + max(1, pair_batch // topk), n_query)
-            q = jnp.arange(start, stop)
-            i_idx = cand[start:stop].reshape(-1)
-            im = jnp.take(images, i_idx, axis=0)
-            ti = jnp.repeat(text_ids[start:stop], topk, axis=0)
-            tm = jnp.repeat(text_masks[start:stop], topk, axis=0)
-            s = pair_fn(params, ti, tm, im).reshape(stop - start, topk)
-            new = new.at[q[:, None], cand[start:stop]].set(1e4 * s)
-        return jnp.where(jnp.isfinite(new), new, scores.T - 1e8).T
+    chunk = max(1, pair_batch // topk)
+
+    def pair_logprob(p, ti, tm, im):
+        out = model.infer(p, spec,
+                          {"text_ids": ti, "text_masks": tm}, image=im)
+        logits = model.itm_head(p, out["cls_feats"])
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1)[:, 1]
+
+    @functools.partial(jax.jit, static_argnames=("query_is_image",))
+    def rerank(p, ti_all, tm_all, im_all, sc, query_is_image: bool):
+        qsc = sc if query_is_image else sc.T
+        _, cand = jax.lax.top_k(qsc, topk)               # (Q, k)
+        n_query = qsc.shape[0]
+        pad = (-n_query) % chunk
+        cand_p = jnp.pad(cand, ((0, pad), (0, 0)))       # padded → chunks
+        qids = jnp.pad(jnp.arange(n_query), (0, pad))
+        n_chunks = (n_query + pad) // chunk
+
+        def body(_, inp):
+            q_idx, cand_chunk = inp                      # (c,), (c, k)
+            flat = cand_chunk.reshape(-1)                # (c·k,)
+            if query_is_image:                           # candidates: texts
+                ti = ti_all[flat]
+                tm = tm_all[flat]
+                im = jnp.repeat(im_all[q_idx], topk, axis=0)
+            else:                                        # candidates: images
+                ti = jnp.repeat(ti_all[q_idx], topk, axis=0)
+                tm = jnp.repeat(tm_all[q_idx], topk, axis=0)
+                im = im_all[flat]
+            s = pair_logprob(p, ti, tm, im)
+            return None, s.reshape(chunk, topk)
+
+        _, s = jax.lax.scan(
+            body, None,
+            (qids.reshape(n_chunks, chunk),
+             cand_p.reshape(n_chunks, chunk, topk)))
+        s = s.reshape(-1, topk)[:n_query]                # (Q, k)
+        new = jnp.full_like(qsc, -jnp.inf)
+        new = new.at[jnp.arange(n_query)[:, None], cand].set(1e4 * s)
+        new = jnp.where(jnp.isfinite(new), new, qsc - 1e8)
+        return new if query_is_image else new.T
+
+    return rerank(params, text_ids, text_masks, images, scores,
+                  query_is_image=(axis == 1))
 
 
 def compute_irtr_recall(

@@ -33,16 +33,57 @@ DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 
 
-def initialize_multihost() -> None:
+def cluster_spec_from_env(environ=None) -> Optional[Dict[str, object]]:
+    """Map cluster launcher env vars to jax.distributed.initialize kwargs.
+
+    Replaces OMPIClusterEnvironment (reference run.py:70-138).  Priority:
+
+      1. JAX/Megascale native vars → let jax.distributed auto-detect
+         (returns {} → initialize() with no args).
+      2. OpenMPI launches: ``OMPI_COMM_WORLD_{RANK,SIZE}`` give
+         process_id/num_processes; the coordinator is
+         ``MASTER_ADDR:MASTER_PORT`` with the reference's defaults
+         (localhost:12345, run.py:119-123).
+      3. Generic torchrun-style ``RANK/WORLD_SIZE/MASTER_ADDR``.
+
+    Returns None when no multi-process launch is detected (single host).
+    """
+    env = os.environ if environ is None else environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or \
+            env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return {}
+    if "OMPI_COMM_WORLD_SIZE" in env and \
+            int(env["OMPI_COMM_WORLD_SIZE"]) > 1:
+        addr = env.get("MASTER_ADDR", "localhost")
+        port = int(env.get("MASTER_PORT", 12345))
+        return dict(
+            coordinator_address=f"{addr}:{port}",
+            num_processes=int(env["OMPI_COMM_WORLD_SIZE"]),
+            process_id=int(env.get("OMPI_COMM_WORLD_RANK", 0)),
+        )
+    if "WORLD_SIZE" in env and int(env["WORLD_SIZE"]) > 1:
+        addr = env.get("MASTER_ADDR", "localhost")
+        port = int(env.get("MASTER_PORT", 12345))
+        return dict(
+            coordinator_address=f"{addr}:{port}",
+            num_processes=int(env["WORLD_SIZE"]),
+            process_id=int(env.get("RANK", 0)),
+        )
+    return None
+
+
+def initialize_multihost(environ=None) -> bool:
     """Bootstrap multi-host JAX from cluster env vars if present.
 
-    Replaces OMPIClusterEnvironment (run.py:70-138): JAX's own
-    coordinator-based rendezvous reads standard cluster env vars
-    (or explicit ones) and wires DCN collectives.
+    Replaces the reference's OMPI rank discovery + TCP rendezvous
+    (run.py:70-138): JAX's coordinator-based rendezvous wires the DCN
+    collectives.  Returns True if distributed init ran.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    spec = cluster_spec_from_env(environ)
+    if spec is None:
+        return False
+    jax.distributed.initialize(**spec)
+    return True
 
 
 def make_mesh(

@@ -9,6 +9,7 @@ should check ``available()`` and use the PIL path otherwise.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,21 +20,42 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "decode.cc")
 _SO = os.path.join(_HERE, "_libvlm_decode.so")
+_STAMP = _SO + ".sha256"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> Optional[ctypes.CDLL]:
+    """Compile decode.cc → .so, or reuse a previous build.
+
+    Binaries are never committed (.gitignore'd); reuse is gated on a
+    content hash of decode.cc recorded at build time — never on mtimes —
+    so a fresh clone always compiles from the reviewed source and an
+    edited source always rebuilds.  -march=native is safe because the
+    artifact is strictly machine-local.
+    """
     global _build_failed
-    if os.path.exists(_SO) and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return ctypes.CDLL(_SO)
+    digest = _src_digest()
+    if os.path.exists(_SO) and os.path.exists(_STAMP):
+        with open(_STAMP) as f:
+            if f.read().strip() == digest:
+                try:
+                    return ctypes.CDLL(_SO)
+                except OSError:
+                    pass  # stale/foreign binary: rebuild below
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(_STAMP, "w") as f:
+            f.write(digest)
         return ctypes.CDLL(_SO)
     except (subprocess.CalledProcessError, OSError) as e:
         _build_failed = True
@@ -41,8 +63,29 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
 
 
+def _self_test(lib: ctypes.CDLL) -> bool:
+    """Round-trip a tiny JPEG through the library before trusting it."""
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (9, 7), (255, 0, 0)).save(buf, format="JPEG")
+        data = buf.getvalue()
+        out = np.empty((1, 3, 4, 4), np.float32)
+        ptrs = (ctypes.c_char_p * 1)(data)
+        lens = (ctypes.c_size_t * 1)(len(data))
+        rc = lib.vlm_decode_resize_batch(
+            ptrs, lens, 1, 4, out.ctypes.data_as(ctypes.POINTER(
+                ctypes.c_float)), 1)
+        return rc == 0 and np.isfinite(out).all() and out[0, 0].mean() > 0.5
+    except Exception:
+        return False
+
+
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
     with _lock:
@@ -56,6 +99,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ]
                 lib.vlm_decode_resize_batch.restype = ctypes.c_int
+                if not _self_test(lib):
+                    print("[vlm_tpu.runtime] native self-test failed, "
+                          "using PIL path")
+                    _build_failed = True
+                    lib = None
             _lib = lib
     return _lib
 
