@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_A100_IMG_PER_S = 180.0
 
-BATCH = 64
+BATCH = 128
 ITERS = 8
 IMAGE_SIZE = 384
 
@@ -49,10 +49,12 @@ def main() -> None:
 
     # NOTE: the rel-pos bias gather stays INSIDE the jit — XLA fuses it
     # into the attention consumers and never materializes the (L,H,N,N)
-    # bias in HBM; hoisting it out as an input measured 1.4x slower on the
-    # bandwidth-limited dev chip (368 vs 522 img/s).  The batch-blocked
-    # Pallas attention kernel (ops/attention.py) beats the XLA path
-    # end-to-end (558 vs 521 img/s) — enabled for eval.
+    # bias in HBM.  The pallas_attention flag enables the fused eval path
+    # (models/mome._block_fast): one lane-align pad per forward, then per
+    # block LN+qkv -> packed attention (no (B,N,3,H,d) transpose) ->
+    # proj+LayerScale+residual -> LN+MLP+LayerScale+residual, each a
+    # single Pallas kernel.  Measured on the v5e dev chip: 557 -> 1123
+    # img/s at B128 (~64% of the 191 TF/s bf16 peak).
     @jax.jit
     def image_tower(p, image):
         with pallas_attention(True):  # active at trace time

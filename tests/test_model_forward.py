@@ -166,3 +166,62 @@ def test_relpos_index_values():
     assert idx[0, 0] == spec.all_num_relative_distance - 1
     assert idx[0, 1] == spec.all_num_relative_distance - 3
     assert idx[1, 0] == spec.all_num_relative_distance - 2
+
+
+def test_padded_trunk_matches_unpadded():
+    """The Pallas eval fast path lane-pads the image sequence once per
+    forward (model._seq_pad); on CPU the kernels fall back to identical
+    XLA math, so padding must be output-invariant."""
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.models.mome import pallas_attention
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", "all_moe",
+        overrides=dict(hidden_size=128, num_heads=2, num_layers=3,
+                       image_size=256, patch_size=16, max_text_len=8,
+                       max_text_len_of_initckpt=16,
+                       vlffn_start_layer_index=2, precision="f32"))
+    spec = make_model_spec(cfg)     # 257 image tokens -> pads to 384
+    params = init_params(spec, 0)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 3, 256, 256).astype(np.float32))
+
+    plain = model.infer_image(params, spec, {}, image=img)
+    with pallas_attention(True):
+        padded = model.infer_image(params, spec, {}, image=img)
+    for k in ("cls_feats", "cls_vlffn_feats", "raw_cls_feats"):
+        np.testing.assert_allclose(
+            np.asarray(plain[k]), np.asarray(padded[k]), atol=1e-5,
+            err_msg=k)
+    assert padded["image_feats"].shape == plain["image_feats"].shape
+    np.testing.assert_allclose(
+        np.asarray(plain["image_feats"]), np.asarray(padded["image_feats"]),
+        atol=1e-5)
+
+
+def test_packed_attention_fallback_matches_split():
+    """packed_fused_attention's non-TPU fallback equals the reference
+    split-head path."""
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.ops.attention import (packed_fused_attention,
+                                              reference_attention)
+
+    B, H, N, C, d = 2, 4, 128, 256, 64
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.randn(H, N, N) * 0.1, jnp.float32)
+    mask = jnp.asarray((np.arange(N)[None] < 100) * np.ones((B, 1)),
+                       jnp.int32)
+    got = packed_fused_attention(qkv, bias, mask, 0.125, H)
+    q, k, v = jnp.split(qkv, 3, -1)
+
+    def heads(t):
+        return jnp.transpose(t.reshape(B, N, H, d), (0, 2, 1, 3))
+
+    want = reference_attention(heads(q), heads(k), heads(v), bias, mask,
+                               0.125)
+    want = jnp.transpose(want, (0, 2, 1, 3)).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(got)[:, :100],
+                               np.asarray(want)[:, :100], atol=1e-5)

@@ -17,6 +17,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import relpos
 from .layers import dropout, gelu, layer_norm, linear
@@ -107,28 +108,49 @@ def _drop_path_rates(spec: ModelSpec):
 
 
 def precompute_bias(params: Params, spec: ModelSpec, kind: str,
-                    true_length: Optional[int] = None) -> jax.Array:
+                    true_length: Optional[int] = None,
+                    pad_to: Optional[int] = None) -> jax.Array:
     """Per-layer rel-pos bias (L, H, N, N), input-independent.
 
     Eval loops should compute this once and pass it via ``rel_bias`` to
     the infer functions: the table gather + transpose costs ~10 ms per
-    call at N=640 on v5e and is pure overhead per batch otherwise."""
+    call at N=640 on v5e and is pure overhead per batch otherwise.
+
+    ``pad_to`` pads the (static, host-side) index matrix to a lane-aligned
+    sequence length with bucket 0 — padded keys are masked in attention
+    and padded query rows are discarded, so the values never matter — and
+    keeps the gather itself fusable (padding the gathered bias instead
+    would materialize the full (L,H,N,N) tensor)."""
     index = {"fused": lambda: relpos.fused_index(spec),
              "text": lambda: relpos.text_index(spec, true_length),
              "image": lambda: relpos.image_index(spec)}[kind]()
+    if pad_to is not None and pad_to > index.shape[0]:
+        extra = pad_to - index.shape[0]
+        index = np.pad(index, ((0, extra), (0, extra)))
     return relpos.per_layer_bias(
         params["relative_position_bias_table"], index,
         spec.num_layers, spec.num_heads)
 
 
+def _seq_pad(spec: ModelSpec, n: int) -> int:
+    """Lane-aligned sequence length for the Pallas fast path: one pad at
+    trunk entry replaces a pad+slice copy pair in every layer."""
+    from .mome import _USE_PALLAS
+
+    if not _USE_PALLAS.get() or n % 128 == 0 or n < 256:
+        return n
+    return (n + 127) // 128 * 128
+
+
 
 def _block_apply(params, spec, b, x, mask, bias_i, type_id, dp_rate, rng,
-                 train):
+                 train, text_len=None):
     """One block step; under use_remat the block rematerializes in the
     backward pass (jax.checkpoint) instead of saving activations."""
     def f(params, x, mask, bias_i, rng):
         return block_forward(params, spec, b, x, mask, bias_i, type_id,
-                             drop_path_rate=dp_rate, rng=rng, train=train)[0]
+                             drop_path_rate=dp_rate, rng=rng, train=train,
+                             text_len=text_len)[0]
     if spec.remat and train:
         f = jax.checkpoint(f)
     return f(params, x, mask, bias_i, rng)
@@ -291,8 +313,20 @@ def _image_trunk(
                                   bool_masked_pos=bool_masked_pos)
     x = x + _token_type(params, image_token_type_idx, x, x.dtype)
 
+    n = x.shape[1]
+    np_ = _seq_pad(spec, n)
+    if rel_bias is not None and rel_bias.shape[-1] != np_:
+        np_ = n  # caller supplied an unpadded bias: honor its length
+    if np_ != n:
+        # one lane-align pad for the whole trunk (packed Pallas attention);
+        # padded keys are masked, padded query rows sliced off at the end
+        x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+        image_masks = jnp.concatenate(
+            [image_masks,
+             jnp.zeros((x.shape[0], np_ - n), image_masks.dtype)], axis=1)
+
     bias = rel_bias if rel_bias is not None else precompute_bias(
-        params, spec, "image")
+        params, spec, "image", pad_to=np_)
     dprates = _drop_path_rates(spec)
 
     hidden = []
@@ -305,9 +339,17 @@ def _image_trunk(
     if vlffn_rerun:
         vlffn_hiddens = hidden[spec.vlffn_start_layer_index - 1]
         for i in range(spec.vlffn_start_layer_index, spec.num_layers):
+            # image-only sequence run with VL experts: text_len is 0, not
+            # what the fused-shape inference would derive on padded input
             vlffn_hiddens = _block_apply(
                 params, spec, spec.blocks[i], vlffn_hiddens, image_masks,
-                bias[i], VL, dprates[i], rngs[spec.num_layers + i], train)
+                bias[i], VL, dprates[i], rngs[spec.num_layers + i], train,
+                text_len=0)
+    if np_ != n:
+        hidden = hidden[:-1] + [hidden[-1][:, :n]]
+        if vlffn_hiddens is not None:
+            vlffn_hiddens = vlffn_hiddens[:, :n]
+        image_masks = image_masks[:, :n]
     return hidden, vlffn_hiddens, image_masks
 
 

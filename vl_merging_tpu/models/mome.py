@@ -58,7 +58,7 @@ def attention(
     reference: vision_transformer.py:329-363.  The fused Pallas path
     (ops/attention.py) keeps the (N,N) logits in VMEM.
     """
-    from ..ops.attention import fused_attention
+    from ..ops.attention import fused_attention, packed_fused_attention
 
     tap_add(prefix, x)  # gram tap: attention-module input (post-LN)
     B, N, C = x.shape
@@ -69,16 +69,30 @@ def attention(
     v_bias = params[f"{prefix}.v_bias"]
     qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
     qkv = linear(x, params[f"{prefix}.qkv.weight"], qkv_bias, dtype=x.dtype)
-    qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
-    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))        # 3, B, H, N, hd
-    q, k, v = qkv[0], qkv[1], qkv[2]
 
-    out = fused_attention(q, k, v, rel_bias, mask, scale,
-                          use_pallas=_USE_PALLAS.get(),
-                          logits_dtype=logits_dtype)      # B, H, N, hd
-    attn = None  # probs stay in VMEM; no caller consumes them numerically
+    packed_ok = (
+        _USE_PALLAS.get()
+        and jax.default_backend() == "tpu"
+        and N % 128 == 0
+        and head_dim == 64 and num_heads % 2 == 0
+        and rel_bias is not None and mask is not None
+        and logits_dtype == jnp.float32
+    )
+    if packed_ok:
+        # packed kernel: no (B,N,3,H,d) transpose, context lands directly
+        # in (B,N,C); callers pre-pad the sequence once (model._pad_seq)
+        out = packed_fused_attention(qkv, rel_bias, mask, scale, num_heads)
+        attn = None
+    else:
+        qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))    # 3, B, H, N, hd
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = fused_attention(q, k, v, rel_bias, mask, scale,
+                              use_pallas=_USE_PALLAS.get(),
+                              logits_dtype=logits_dtype)  # B, H, N, hd
+        attn = None  # probs stay in VMEM; nothing consumes them numerically
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
 
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
     tap_add(f"{prefix}.proj", out)  # gram tap: proj input (attn context)
     out = linear(out, params[f"{prefix}.proj.weight"],
                  params[f"{prefix}.proj.bias"], dtype=x.dtype)
@@ -222,6 +236,65 @@ def _mlp_part(
     return mlp(params, f"{p}.mlp", ln2(x))
 
 
+def _single_expert_suffix(b: BlockSpec, type_id: int, which: str):
+    """Expert-name suffix when this (block, type_id) routes through exactly
+    one attention/mlp/LN call; None when the sequence must be split."""
+    experts = {"attn": b.attn_experts, "mlp": b.mlp_experts,
+               "norm1": b.norm1_experts, "norm2": b.norm2_experts}[which]
+    if not experts:
+        return ""
+    if type_id in (V, L) or (type_id == VL and b.has_vl):
+        return f".{_TASK_OF_TYPE[type_id]}"
+    return None
+
+
+def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
+    """Whole eval block through the fused kernels (ops/fused_block.py):
+    LN1+qkv → packed attention → proj+LayerScale+residual →
+    LN2+MLP+LayerScale+residual.  Returns None when any stage needs the
+    split/expert-pair routing, a gram tap is active, training wants
+    drop-path RNG, or the Pallas shapes don't apply."""
+    from ..ops.attention import packed_fused_attention
+    from ..ops.fused_block import ln_linear, linear_residual, mlp_tail
+    from .taps import _ACTIVE_TAP
+
+    N = x.shape[1]
+    if (not _USE_PALLAS.get() or train or _ACTIVE_TAP.get() is not None
+            or jax.default_backend() != "tpu"
+            or N % 128 != 0 or rel_bias is None or mask is None
+            or spec.attention_logits_dtype != "f32"
+            or spec.num_heads % 2 != 0
+            or spec.hidden_size // spec.num_heads != 64):
+        return None
+    if type_id == VL and not b.has_vl and b.self_attn_single:
+        return None  # modality-block-diagonal attention: split path
+    sfx = {w: _single_expert_suffix(b, type_id, w)
+           for w in ("attn", "mlp", "norm1", "norm2")}
+    if any(v is None for v in sfx.values()):
+        return None
+
+    p = f"transformer.blocks.{b.index}"
+    ap = f"{p}.attn{sfx['attn']}"
+    mp = f"{p}.mlp{sfx['mlp']}"
+    n1 = f"{p}.norm1{sfx['norm1']}"
+    n2 = f"{p}.norm2{sfx['norm2']}"
+
+    q_bias = params[f"{ap}.q_bias"]
+    qkv_bias = jnp.concatenate(
+        [q_bias, jnp.zeros_like(q_bias), params[f"{ap}.v_bias"]])
+    qkv = ln_linear(x, params[f"{n1}.weight"], params[f"{n1}.bias"],
+                    params[f"{ap}.qkv.weight"], qkv_bias, use_pallas=True)
+    scale = (spec.hidden_size // spec.num_heads) ** -0.5
+    ctx = packed_fused_attention(qkv, rel_bias, mask, scale, spec.num_heads)
+    x = linear_residual(ctx, params[f"{ap}.proj.weight"],
+                        params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
+                        x, use_pallas=True)
+    return mlp_tail(x, params[f"{n2}.weight"], params[f"{n2}.bias"],
+                    params[f"{mp}.fc1.weight"], params[f"{mp}.fc1.bias"],
+                    params[f"{mp}.fc2.weight"], params[f"{mp}.fc2.bias"],
+                    params[f"{p}.gamma_2"], use_pallas=True)
+
+
 def block_forward(
     params: Params,
     spec: ModelSpec,
@@ -234,19 +307,28 @@ def block_forward(
     drop_path_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     train: bool = False,
+    text_len: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One MoME block (vision_transformer.py:683-691 dispatch)."""
     p = f"transformer.blocks.{b.index}"
     # Fused sequences split at Block.max_text_len == config max_text_len
     # (vision_transformer.py:493, 510, 542); when the fused batch was built
     # with vl-truncated text (max_vl_text_len), infer the split from shape.
-    text_len = spec.max_text_len
-    if type_id == VL and x.shape[1] != text_len + spec.image_len:
-        text_len = x.shape[1] - spec.image_len
+    # Callers running VL blocks on non-fused sequences (the image trunk's
+    # vlffn re-run, possibly lane-padded) pass text_len explicitly.
+    if text_len is None:
+        text_len = spec.max_text_len
+        if type_id == VL and x.shape[1] != text_len + spec.image_len:
+            text_len = x.shape[1] - spec.image_len
 
     r1 = r2 = None
     if train and rng is not None:
         r1, r2 = jax.random.split(rng)
+
+    fast = _block_fast(params, spec, b, x, mask, rel_bias, type_id,
+                       train=train)
+    if fast is not None:
+        return fast, None
 
     branch, attn_probs = _attn_part(params, p, b, x, mask, rel_bias, type_id,
                                     spec, text_len)

@@ -200,6 +200,127 @@ def _pallas_attention(q, k, v, bias, mask, scale: float):
     return out
 
 
+def _packed_kernel(qkv_q, qkv_k, qkv_v, bias_ref, mask_ref, o_ref, *,
+                   scale: float):
+    """One (head-pair, batch-block) cell over PACKED qkv.
+
+    q/k/v refs are (bb, Np, 128) lane-aligned blocks holding two adjacent
+    heads' columns straight out of the qkv projection (head-major torch
+    layout); the two heads are processed sequentially against an f32
+    (bb, Np, Np) logits tile, avoiding any HBM-level transpose of the
+    (B, N, 3, H, d) tensor."""
+    bb, Np, _ = qkv_q.shape
+    valid = mask_ref[:, 0] > 0                             # bb, Np
+    for h in (0, 1):
+        sl = slice(h * 64, (h + 1) * 64)
+        q = qkv_q[:, :, sl] * jnp.asarray(scale, qkv_q.dtype)
+        s = jax.lax.dot_general(
+            q, qkv_k[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # bb, Np, Np
+        s = s + bias_ref[h][None]
+        s = jnp.where(valid[:, None, :], s,
+                      jnp.asarray(-jnp.inf, jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(qkv_v.dtype), qkv_v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                             "block_b"))
+def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
+                             block_b: int = 4):
+    """Fused attention over packed qkv (B, Np, 3C) → context (B, Np, C).
+
+    Requires Np % 128 == 0 (callers pre-pad the sequence once per forward;
+    see model._pad_seq) and head_dim == 64.  Eliminates the reshape/
+    transpose of qkv to (3, B, H, N, d) and the context transpose back —
+    ~1.4 ms/layer of pure HBM shuffle at B64 N640 on v5e."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Np, threeC = qkv.shape
+    C = threeC // 3
+    H2 = num_heads // 2
+    pad_b = (-B) % block_b
+    if pad_b:
+        qkv = jnp.pad(qkv, ((0, pad_b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_b), (0, 0)))
+    Bp = B + pad_b
+    mask = mask[:, None, :]  # (B, 1, Np): TPU-tileable block layout
+
+    grid = (H2, Bp // block_b)
+    qkv_spec = lambda off: pl.BlockSpec(                  # noqa: E731
+        (block_b, Np, 128), lambda j, b, off=off: (b, 0, off + j),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, C), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            qkv_spec(0),            # q columns [j*128, (j+1)*128)
+            qkv_spec(H2),           # k columns [C + j*128, ...)
+            qkv_spec(2 * H2),       # v columns [2C + j*128, ...)
+            pl.BlockSpec((2, Np, Np), lambda j, b: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, Np), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, Np, 128), lambda j, b: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * block_b * Np * Np * 64,
+            transcendentals=2 * block_b * Np * Np,
+            bytes_accessed=(3 * block_b * Np * 128 + 2 * Np * Np) * 4),
+    )(qkv, qkv, qkv, bias, mask)
+    if pad_b:
+        out = out[:B]
+    return out
+
+
+def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
+    """Packed-layout dispatcher; falls back to the split path off-TPU or
+    for shapes the kernel does not cover."""
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    head_dim = C // num_heads
+    ok = (jax.default_backend() == "tpu" and N % 128 == 0
+          and head_dim == 64 and num_heads % 2 == 0
+          and bias is not None)
+    if not ok:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        def heads(t):
+            return jnp.transpose(
+                t.reshape(B, N, num_heads, head_dim), (0, 2, 1, 3))
+        out = reference_attention(heads(q), heads(k), heads(v), bias, mask,
+                                  scale)
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+    # VMEM: s tile (bb,Np,Np) f32 + bias pair + 3 input blocks; bb=4 fits
+    # through Np=640, bb=2 through Np=896; larger N uses the split path.
+    if N <= 640:
+        bb = 8 if B % 8 == 0 else (4 if B % 4 == 0 else
+                                   (2 if B % 2 == 0 else 1))
+    elif N <= 896:
+        bb = 2 if B % 2 == 0 else 1
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        def heads(t):
+            return jnp.transpose(
+                t.reshape(B, N, num_heads, head_dim), (0, 2, 1, 3))
+        out = _pallas_attention_diff(
+            heads(q), heads(k), heads(v), bias.astype(jnp.float32),
+            mask.astype(jnp.float32), scale)
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+    return _pallas_packed_attention(qkv, bias.astype(jnp.float32),
+                                    mask.astype(jnp.int32), scale,
+                                    num_heads, block_b=bb)
+
+
 def _pallas_dispatch(q, k, v, bias, mask, scale):
     """block_b=4 fits VMEM for N≤640 (s-tile 6.5 MB f32); fall back to the
     single-cell kernel for longer rows (e.g. 901+40 @480)."""
