@@ -63,3 +63,30 @@ def test_native_throughput_sane():
     t_pil = time.time() - t0
     print(f"native {t_native * 1000:.1f} ms vs PIL {t_pil * 1000:.1f} ms")
     assert t_native < 1.5 * t_pil
+
+
+def test_native_u8_matches_pil_resize():
+    """decode_resize_batch_u8 == PIL decode + bicubic resize, byte-exact."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from vl_merging_tpu import runtime
+
+    if not runtime.available():
+        import pytest
+
+        pytest.skip("native decode unavailable")
+    rng = np.random.RandomState(0)
+    jpegs = []
+    for _ in range(3):
+        arr = (rng.rand(57, 83, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+        jpegs.append(buf.getvalue())
+    got = runtime.decode_resize_batch_u8(jpegs, 64)
+    for i, j in enumerate(jpegs):
+        img = Image.open(io.BytesIO(j)).convert("RGB")
+        want = np.asarray(img.resize((64, 64), Image.BICUBIC), np.uint8)
+        np.testing.assert_array_equal(got[i], want)

@@ -99,6 +99,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_float), ctypes.c_int,
                 ]
                 lib.vlm_decode_resize_batch.restype = ctypes.c_int
+                lib.vlm_decode_resize_batch_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ]
+                lib.vlm_decode_resize_batch_u8.restype = ctypes.c_int
                 if not _self_test(lib):
                     print("[vlm_tpu.runtime] native self-test failed, "
                           "using PIL path")
@@ -128,6 +135,26 @@ def decode_resize_batch(jpeg_buffers: List[bytes], out_size: int,
     failures = lib.vlm_decode_resize_batch(
         arr_ptrs, arr_lens, n, out_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+    if failures:
+        print(f"[vlm_tpu.runtime] {failures} corrupt JPEGs zero-filled")
+    return out
+
+
+def decode_resize_batch_u8(jpeg_buffers: List[bytes], out_size: int,
+                           num_threads: int = 8) -> np.ndarray:
+    """Batch JPEG bytes → (N, S, S, 3) uint8 — the low-bandwidth feed
+    path; device-side ((u8/255)−0.5)/0.5 completes the eval transform
+    with 4× less host→device traffic than the f32 variant."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native decode library unavailable")
+    n = len(jpeg_buffers)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    arr_ptrs = (ctypes.c_char_p * n)(*jpeg_buffers)
+    arr_lens = (ctypes.c_size_t * n)(*[len(b) for b in jpeg_buffers])
+    failures = lib.vlm_decode_resize_batch_u8(
+        arr_ptrs, arr_lens, n, out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
     if failures:
         print(f"[vlm_tpu.runtime] {failures} corrupt JPEGs zero-filled")
     return out

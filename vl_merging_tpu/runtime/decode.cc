@@ -111,18 +111,16 @@ ResampleCoeffs compute_coeffs(int in_size, int out_size) {
   return rc;
 }
 
-// Resize interleaved RGB (double precision accumulate) to out_size², then
-// write normalized CHW float32.
-void resize_normalize(const std::vector<uint8_t>& rgb, int w, int h,
-                      int out_size, float* out) {
+inline uint8_t clip8(double v) {
+  return uint8_t(std::clamp(std::floor(v + 0.5), 0.0, 255.0));
+}
+
+// Resize interleaved RGB to out_size² uint8 HWC (PIL-exact: uint8
+// round+clip between the horizontal and vertical passes).
+void resize_u8(const std::vector<uint8_t>& rgb, int w, int h, int out_size,
+               uint8_t* out_hwc) {
   ResampleCoeffs rx = compute_coeffs(w, out_size);
   ResampleCoeffs ry = compute_coeffs(h, out_size);
-
-  // PIL keeps a uint8 intermediate image between the horizontal and
-  // vertical passes — round+clip after each pass to match exactly.
-  auto clip8 = [](double v) -> uint8_t {
-    return uint8_t(std::clamp(std::floor(v + 0.5), 0.0, 255.0));
-  };
 
   // horizontal pass: (h, out_size, 3) uint8
   std::vector<uint8_t> tmp(size_t(h) * out_size * 3);
@@ -142,8 +140,7 @@ void resize_normalize(const std::vector<uint8_t>& rgb, int w, int h,
       dst[0] = clip8(acc[0]); dst[1] = clip8(acc[1]); dst[2] = clip8(acc[2]);
     }
   }
-  // vertical pass + clamp + normalize + CHW
-  size_t plane = size_t(out_size) * out_size;
+  // vertical pass
   for (int yy = 0; yy < out_size; ++yy) {
     const double* wgt = ry.weights.data() + size_t(yy) * ry.ksize;
     int ymin = ry.bounds_min[yy], n = ry.bounds_size[yy];
@@ -156,13 +153,25 @@ void resize_normalize(const std::vector<uint8_t>& rgb, int w, int h,
         acc[1] += wgt[i] * px[1];
         acc[2] += wgt[i] * px[2];
       }
-      for (int c = 0; c < 3; ++c) {
-        double v = clip8(acc[c]);
-        float norm = (float(v) / 255.0f - 0.5f) / 0.5f;
-        out[size_t(c) * plane + size_t(yy) * out_size + xx] = norm;
-      }
+      uint8_t* dst = out_hwc + (size_t(yy) * out_size + xx) * 3;
+      dst[0] = clip8(acc[0]); dst[1] = clip8(acc[1]); dst[2] = clip8(acc[2]);
     }
   }
+}
+
+// f32 CHW inception-normalized output (the square_transform eval math).
+void resize_normalize(const std::vector<uint8_t>& rgb, int w, int h,
+                      int out_size, float* out) {
+  std::vector<uint8_t> hwc(size_t(out_size) * out_size * 3);
+  resize_u8(rgb, w, h, out_size, hwc.data());
+  size_t plane = size_t(out_size) * out_size;
+  for (int yy = 0; yy < out_size; ++yy)
+    for (int xx = 0; xx < out_size; ++xx)
+      for (int c = 0; c < 3; ++c) {
+        uint8_t v = hwc[(size_t(yy) * out_size + xx) * 3 + c];
+        out[size_t(c) * plane + size_t(yy) * out_size + xx] =
+            (float(v) / 255.0f - 0.5f) / 0.5f;
+      }
 }
 
 }  // namespace
@@ -188,6 +197,39 @@ int vlm_decode_resize_batch(const uint8_t** datas, const size_t* lens,
         resize_normalize(rgb, w, h, out_size, out + size_t(i) * stride);
       } else {
         std::memset(out + size_t(i) * stride, 0, stride * sizeof(float));
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  int nt = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
+// Decode+resize a batch into uint8 HWC (N, S, S, 3) — the low-bandwidth
+// feed path: normalization happens on device ((u8/255 - 0.5)/0.5), so the
+// host->device transfer is 4x smaller than f32.
+int vlm_decode_resize_batch_u8(const uint8_t** datas, const size_t* lens,
+                               int n, int out_size, uint8_t* out,
+                               int num_threads) {
+  std::atomic<int> failures{0};
+  std::atomic<int> next{0};
+  size_t stride = size_t(3) * out_size * out_size;
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      std::vector<uint8_t> rgb;
+      int w = 0, h = 0;
+      if (decode_jpeg(datas[i], lens[i], &rgb, &w, &h) && w > 0 && h > 0) {
+        resize_u8(rgb, w, h, out_size, out + size_t(i) * stride);
+      } else {
+        std::memset(out + size_t(i) * stride, 0, stride);
         failures.fetch_add(1);
       }
     }
