@@ -41,22 +41,31 @@ def map_pixels(chw: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 _MAX_LEVEL = 10
+_TRANSLATE_CONST = 10  # ABSOLUTE pixels (reference randaugment.py:286)
 
 
 def _enhance_factor(level: int) -> float:
-    # brightness/sharpness strength ∈ [0.1, 1.9]
-    return 1.0 + (level / _MAX_LEVEL) * 0.9 * random.choice([-1, 1])
+    # brightness/sharpness strength: deterministic (level/10)·1.8 + 0.1
+    # (reference enhance_level_to_args, randaugment.py:208-211 — no sign
+    # flip; at M=7 this is always 1.36)
+    return (level / _MAX_LEVEL) * 1.8 + 0.1
 
 
 def _shear_arg(level: int) -> float:
+    # (reference shear_level_to_args, randaugment.py:214-220)
     return (level / _MAX_LEVEL) * 0.3 * random.choice([-1, 1])
 
 
 def _translate_arg(level: int, extent: int) -> float:
-    return (level / _MAX_LEVEL) * 0.45 * extent * random.choice([-1, 1])
+    # translate_const=10 ABSOLUTE pixels, not a fraction of the image
+    # (reference translate_level_to_args + randaugment.py:286)
+    del extent
+    return (level / _MAX_LEVEL) * float(_TRANSLATE_CONST) * \
+        random.choice([-1, 1])
 
 
 def _rotate_arg(level: int) -> float:
+    # (reference rotate_level_to_args, randaugment.py:258-265)
     return (level / _MAX_LEVEL) * 30.0 * random.choice([-1, 1])
 
 
