@@ -140,6 +140,9 @@ def base_config() -> ConfigDict:
         num_workers=8,
         precision="bf16",         # "bf16" | "f32" (reference: fp16 AMP)
         attention_logits_dtype="f32",  # "f32" (reference parity) | "bf16"
+        # Pallas fast path in train/eval steps (eval CLIs/bench always use
+        # it); fwd = fused kernels, bwd recomputes via the XLA reference
+        pallas_attention=False,
         compute_memory=False,
 
         # Middle-representation extraction (gram caching)

@@ -283,6 +283,51 @@ def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
     return out
 
 
+def _packed_reference(qkv, bias, mask, scale: float, num_heads: int):
+    """XLA composition with identical math to the packed kernel (used for
+    the backward pass and as the off-TPU fallback)."""
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    head_dim = C // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return jnp.transpose(
+            t.reshape(B, N, num_heads, head_dim), (0, 2, 1, 3))
+
+    out = reference_attention(heads(q), heads(k), heads(v), bias, mask,
+                              scale)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_attention_diff(qkv, bias, mask, scale: float, num_heads: int,
+                           block_b: int):
+    return _pallas_packed_attention(qkv, bias.astype(jnp.float32),
+                                    mask.astype(jnp.int32), scale,
+                                    num_heads, block_b=block_b)
+
+
+def _packed_fwd(qkv, bias, mask, scale, num_heads, block_b):
+    out = _packed_attention_diff(qkv, bias, mask, scale, num_heads, block_b)
+    return out, (qkv, bias, mask)
+
+
+def _packed_bwd(scale, num_heads, block_b, res, g):
+    """Backward recomputes through the XLA reference composition — the
+    Pallas forward stores only (qkv, bias), never the (N,N) probs."""
+    qkv, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda qkv_, bias_: _packed_reference(qkv_, bias_, mask, scale,
+                                              num_heads),
+        qkv, bias)
+    dqkv, dbias = vjp(g)
+    return dqkv, dbias, jnp.zeros_like(mask)
+
+
+_packed_attention_diff.defvjp(_packed_fwd, _packed_bwd)
+
+
 def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
     """Packed-layout dispatcher; falls back to the split path off-TPU or
     for shapes the kernel does not cover."""
@@ -293,13 +338,7 @@ def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
           and head_dim == 64 and num_heads % 2 == 0
           and bias is not None)
     if not ok:
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        def heads(t):
-            return jnp.transpose(
-                t.reshape(B, N, num_heads, head_dim), (0, 2, 1, 3))
-        out = reference_attention(heads(q), heads(k), heads(v), bias, mask,
-                                  scale)
-        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        return _packed_reference(qkv, bias, mask, scale, num_heads)
     # VMEM: s tile (bb,Np,Np) f32 + bias pair + 3 input blocks; bb=4 fits
     # through Np=640, bb=2 through Np=896; larger N uses the split path.
     if N <= 640:
@@ -316,9 +355,7 @@ def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
             heads(q), heads(k), heads(v), bias.astype(jnp.float32),
             mask.astype(jnp.float32), scale)
         return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
-    return _pallas_packed_attention(qkv, bias.astype(jnp.float32),
-                                    mask.astype(jnp.int32), scale,
-                                    num_heads, block_b=bb)
+    return _packed_attention_diff(qkv, bias, mask, scale, num_heads, bb)
 
 
 def _pallas_dispatch(q, k, v, bias, mask, scale):

@@ -145,8 +145,11 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, rng):
-        out = compute_losses(params, spec, cfg, batch, rng, train=True,
-                             mim_label_fn=mim_label_fn)
+        from ..models.mome import pallas_attention
+
+        with pallas_attention(bool(cfg.get("pallas_attention", False))):
+            out = compute_losses(params, spec, cfg, batch, rng, train=True,
+                                 mim_label_fn=mim_label_fn)
         return total_loss(out, dp_scale), scalar_metrics(out)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -184,8 +187,11 @@ def make_train_step(
 def make_eval_step(cfg: Dict, spec: ModelSpec,
                    mim_label_fn: Optional[Callable] = None):
     def eval_step(params, batch, rng):
-        out = compute_losses(params, spec, cfg, batch, rng, train=False,
-                             mim_label_fn=mim_label_fn)
+        from ..models.mome import pallas_attention
+
+        with pallas_attention(bool(cfg.get("pallas_attention", False))):
+            out = compute_losses(params, spec, cfg, batch, rng,
+                                 train=False, mim_label_fn=mim_label_fn)
         return scalar_metrics(out)
     return jax.jit(eval_step)
 
