@@ -339,12 +339,13 @@ def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
           and bias is not None)
     if not ok:
         return _packed_reference(qkv, bias, mask, scale, num_heads)
-    # VMEM: s tile (bb,Np,Np) f32 + bias pair + 3 input blocks; bb=4 fits
-    # through Np=640, bb=2 through Np=896; larger N uses the split path.
+    # VMEM: s tile (bb,Np,Np) f32 + bias pair + 3 input blocks; bb=8 fits
+    # through Np=640, bb=2 through Np=1024 (VQA @480); larger N uses the
+    # split path.
     if N <= 640:
         bb = 8 if B % 8 == 0 else (4 if B % 4 == 0 else
                                    (2 if B % 2 == 0 else 1))
-    elif N <= 896:
+    elif N <= 1024:
         bb = 2 if B % 2 == 0 else 1
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
