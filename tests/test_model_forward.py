@@ -225,3 +225,39 @@ def test_packed_attention_fallback_matches_split():
     want = jnp.transpose(want, (0, 2, 1, 3)).reshape(B, N, C)
     np.testing.assert_allclose(np.asarray(got)[:, :100],
                                np.asarray(want)[:, :100], atol=1e-5)
+
+
+def test_padded_fused_trunk_matches_unpadded():
+    """Fused VL pass with lane padding == unpadded, across routing modes
+    (incl. the split sep_plain/moe-expert paths, which must use the
+    explicit text_len rather than shape inference on padded input)."""
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.models.mome import pallas_attention
+
+    for mode in ("ufo", "all_moe", "ffn_moe"):
+        cfg = build_config(
+            "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", mode,
+            overrides=dict(hidden_size=128, num_heads=2, num_layers=3,
+                           image_size=256, patch_size=16, max_text_len=8,
+                           max_text_len_of_initckpt=16,
+                           vlffn_start_layer_index=2, precision="f32"))
+        spec = make_model_spec(cfg)   # fused N = 8 + 257 -> pads to 384
+        params = init_params(spec, 0)
+        rng = np.random.RandomState(0)
+        batch = {
+            "text_ids": jnp.asarray(
+                rng.randint(0, spec.vocab_size, (2, 8))),
+            "text_masks": jnp.asarray(
+                (rng.rand(2, 8) < 0.8).astype(np.int32)),
+            "image": jnp.asarray(
+                rng.randn(2, 3, 256, 256).astype(np.float32)),
+        }
+        plain = model.infer(params, spec, batch)
+        with pallas_attention(True):
+            padded = model.infer(params, spec, batch)
+        for k in ("cls_feats", "raw_cls_feats", "text_feats", "image_feats"):
+            np.testing.assert_allclose(
+                np.asarray(plain[k]), np.asarray(padded[k]), atol=2e-5,
+                err_msg=f"{mode}:{k}")
+        assert padded["image_feats"].shape == plain["image_feats"].shape

@@ -191,16 +191,29 @@ def infer(
     co_masks = jnp.concatenate([text_masks.astype(jnp.int32), image_masks],
                                axis=1)
 
+    text_len = t_emb.shape[1]
+    n = x.shape[1]
+    np_ = _seq_pad(spec, n)
+    if rel_bias is not None and rel_bias.shape[-1] != np_:
+        np_ = n
+    if np_ != n:
+        # lane-align once for the packed Pallas path; padded keys masked,
+        # padded (trailing image-side) query rows sliced off below
+        x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+        co_masks = jnp.concatenate(
+            [co_masks, jnp.zeros((x.shape[0], np_ - n), co_masks.dtype)],
+            axis=1)
+
     bias = rel_bias if rel_bias is not None else precompute_bias(
-        params, spec, "fused")
+        params, spec, "fused", pad_to=np_)
     dprates = _drop_path_rates(spec)
 
     for i, b in enumerate(spec.blocks):
         x = _block_apply(params, spec, b, x, co_masks, bias[i], VL,
-                         dprates[i], rngs[i], train)
+                         dprates[i], rngs[i], train, text_len=text_len)
+    if np_ != n:
+        x = x[:, :n]
     x = _final_norm(params, x)
-
-    text_len = t_emb.shape[1]
     cls_feats = pooler(params, x)
     return {
         "text_feats": x[:, :text_len],
