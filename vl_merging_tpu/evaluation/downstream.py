@@ -20,9 +20,12 @@ from ..models.spec import ModelSpec, Params
 
 
 def make_vqa_logits_fn(spec: ModelSpec):
+    from ..models.mome import pallas_attention
+
     @jax.jit
     def fn(params, batch):
-        out = model.infer(params, spec, batch)
+        with pallas_attention(True):  # fused eval path (trace-time flag)
+            out = model.infer(params, spec, batch)
         return model.vqa_head(params, out["cls_feats"])
     return fn
 

@@ -106,11 +106,15 @@ def retrieval_recall(
 
 def make_itm_pair_fn(spec: ModelSpec):
     """Jitted fused pass scoring (text, image) pairs with the ITM head."""
+    from ..models.mome import pallas_attention
+
     @jax.jit
     def fn(params, text_ids, text_masks, image):
-        out = model.infer(params, spec,
-                          {"text_ids": text_ids, "text_masks": text_masks},
-                          image=image)
+        with pallas_attention(True):
+            out = model.infer(
+                params, spec,
+                {"text_ids": text_ids, "text_masks": text_masks},
+                image=image)
         logits = model.itm_head(params, out["cls_feats"])
         return jax.nn.log_softmax(logits.astype(jnp.float32), -1)[:, 1]
     return fn
@@ -143,8 +147,11 @@ def itm_rerank_scores(
     chunk = max(1, pair_batch // topk)
 
     def pair_logprob(p, ti, tm, im):
-        out = model.infer(p, spec,
-                          {"text_ids": ti, "text_masks": tm}, image=im)
+        from ..models.mome import pallas_attention
+
+        with pallas_attention(True):  # fused eval path (trace-time flag)
+            out = model.infer(p, spec,
+                              {"text_ids": ti, "text_masks": tm}, image=im)
         logits = model.itm_head(p, out["cls_feats"])
         return jax.nn.log_softmax(logits.astype(jnp.float32), -1)[:, 1]
 
