@@ -703,6 +703,20 @@ VIT_PRESETS = {
                                   num_layers=24, patch_size=16),
     "vit_large_patch16_384": dict(hidden_size=1024, num_heads=16,
                                   num_layers=24, patch_size=16),
+    # declared by the reference registry but unused by its named configs
+    # (vision_transformer.py:1238+) — kept for checkpoint compatibility
+    "vit_small_patch16_224": dict(hidden_size=384, num_heads=6,
+                                  num_layers=12, patch_size=16),
+    "vit_small_patch16_384": dict(hidden_size=384, num_heads=6,
+                                  num_layers=12, patch_size=16),
+    "vit_base_patch32_384": dict(hidden_size=768, num_heads=12,
+                                 num_layers=12, patch_size=32),
+    "vit_large_patch32_224": dict(hidden_size=1024, num_heads=16,
+                                  num_layers=24, patch_size=32),
+    "vit_large_patch32_384": dict(hidden_size=1024, num_heads=16,
+                                  num_layers=24, patch_size=32),
+    "vit_huge_patch14_224": dict(hidden_size=1280, num_heads=16,
+                                 num_layers=32, patch_size=14),
 }
 
 
