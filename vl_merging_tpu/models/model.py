@@ -152,7 +152,14 @@ def _block_apply(params, spec, b, x, mask, bias_i, type_id, dp_rate, rng,
                              drop_path_rate=dp_rate, rng=rng, train=train,
                              text_len=text_len)[0]
     if spec.remat and train:
-        f = jax.checkpoint(f)
+        # surgical remat: save un-batched matmul outputs (qkv / proj / mlp
+        # projections), recompute the batched attention einsums — i.e. the
+        # O(B·H·N²) f32 logits/probs that OOM HBM at per-chip batches ≥66
+        # never persist to the backward pass.  Full-block remat measured
+        # ~50% slower; save-everything-except-names ballooned residuals.
+        f = jax.checkpoint(
+            f,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     return f(params, x, mask, bias_i, rng)
 
 # --------------------------------------------------------------------------

@@ -46,6 +46,8 @@ def reference_attention(
     halve the (B,H,N,N) HBM traffic — measured +14% eval throughput on
     the bandwidth-bound dev chip — and are opt-in via config
     ``attention_logits_dtype="bf16"``."""
+    from jax.ad_checkpoint import checkpoint_name
+
     s = jax.lax.dot_general(
         q * scale, k,
         dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
@@ -55,7 +57,12 @@ def reference_attention(
     if mask is not None:
         s = jnp.where(mask[:, None, None, :] > 0, s,
                       jnp.asarray(-jnp.inf, s.dtype))
+    # named for the surgical remat policy (model._block_apply): under
+    # use_remat only these O(N²) tensors are recomputed in the backward
+    # pass — everything else is saved as usual
+    s = checkpoint_name(s, "attn_logits")
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    p = checkpoint_name(p, "attn_probs")
     return jax.lax.dot_general(
         p, v, dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=q.dtype)
