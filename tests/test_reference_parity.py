@@ -433,3 +433,124 @@ def test_gram_accumulation_vs_torch_hook_oracle():
         mine = mine + gram_f64(b)
     np.testing.assert_array_equal(mine, acc["g"].numpy())
     assert mine.dtype == np.float64
+
+
+# ---------------------------------------------------------------------------
+# Executed-reference MoME block forward
+# ---------------------------------------------------------------------------
+
+VIT_REF = "/root/reference/src/vilt/modules/vision_transformer.py"
+
+
+def _load_ref_block_classes():
+    """Compile the reference's Mlp/Attention/Block classes standalone.
+
+    The module itself imports timm/torchvision/fairscale (absent here),
+    but the three classes only need torch (+ DropPath, which is never
+    constructed at drop_path=0)."""
+    import math
+    from functools import partial
+
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    with open(VIT_REF) as f:
+        tree = ast.parse(f.read())
+    ns = {"torch": torch, "nn": nn, "F": F, "math": math,
+          "partial": partial, "DropPath": None,
+          "rank_zero_info": lambda *a, **k: None}
+    for name in ("Mlp", "Attention", "Block"):
+        node = next(n for n in tree.body
+                    if isinstance(n, ast.ClassDef) and n.name == name)
+        exec(compile(ast.Module(body=[node], type_ignores=[]), VIT_REF,
+                     "exec"), ns)
+    return ns
+
+
+def _mode_configs(mode):
+    """The three tiny config objects the reference Block consumes
+    (reference run.py:165-184, vilt/{ufo,moe,custom_ln}/config.py)."""
+    base = dict(tasks=["vl"], tasks_for_shallow_layers=["v", "l"],
+                tasks_for_deep_layers=["v", "l", "vl"])
+    ufo = moe = ln = None
+    if mode == "ufo":
+        ufo = types.SimpleNamespace(**base, separate_inference=True)
+    elif mode == "all_moe":
+        moe = types.SimpleNamespace(**base, in_attn=True, in_ffn=True,
+                                    separate_inference=True,
+                                    self_attn_for_single_mode=True)
+        ln = types.SimpleNamespace(**base, use_custom_ln_attn=True,
+                                   use_custom_ln_ffn=True)
+    elif mode == "ffn_moe":
+        moe = types.SimpleNamespace(**base, in_attn=False, in_ffn=True,
+                                    separate_inference=True,
+                                    self_attn_for_single_mode=False)
+        ln = types.SimpleNamespace(**base, use_custom_ln_attn=False,
+                                   use_custom_ln_ffn=True)
+    else:
+        raise ValueError(mode)
+    return ufo, moe, ln
+
+
+@pytest.mark.parametrize("mode", ["ufo", "all_moe", "ffn_moe"])
+@pytest.mark.parametrize("layer,type_id", [(0, 0), (0, 1), (0, 2),
+                                           (1, 2)])
+def test_block_forward_vs_executed_reference(mode, layer, type_id):
+    """Run the ACTUAL reference Block (ast-extracted) with our init
+    weights and assert value parity with models/mome.block_forward for
+    every routing mode × modality, shallow (no vl expert) and deep."""
+    import jax.numpy as jnp
+    from functools import partial
+
+    import torch.nn as nn
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params
+    from vl_merging_tpu.models.mome import block_forward
+
+    if pytest.importorskip("torch") is None:
+        return
+    ns = _load_ref_block_classes()
+    ufo_cfg, moe_cfg, ln_cfg = _mode_configs(mode)
+
+    hs, heads, text_len = 64, 2, 8
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", mode,
+        overrides=dict(hidden_size=hs, num_heads=heads, num_layers=2,
+                       image_size=48, patch_size=16, max_text_len=text_len,
+                       max_text_len_of_initckpt=16,
+                       vlffn_start_layer_index=1, precision="f32"))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 0)
+
+    ref_block = ns["Block"](
+        dim=hs, num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+        norm_layer=partial(nn.LayerNorm, eps=1e-6), layer_number=layer,
+        vlffn_start_layer_index=1, max_text_len=text_len,
+        ufo_config=ufo_cfg, moe_config=moe_cfg, ln_config=ln_cfg)
+    prefix = f"transformer.blocks.{layer}."
+    sd = {k[len(prefix):]: torch.from_numpy(np.asarray(v))
+          for k, v in params.items() if k.startswith(prefix)}
+    missing, unexpected = ref_block.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert not missing, missing  # our param tree covers the block exactly
+    ref_block.eval()
+
+    rng = np.random.RandomState(layer * 10 + type_id)
+    n = text_len + 10 if type_id == 2 else (10 if type_id == 0 else text_len)
+    x = rng.randn(2, n, hs).astype(np.float32) * 0.5
+    mask = (rng.rand(2, n) < 0.85).astype(np.int64)
+    mask[:, 0] = 1
+    bias = rng.randn(heads, n, n).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        want, _ = ref_block(torch.from_numpy(x),
+                            mask=torch.from_numpy(mask),
+                            type_id=type_id,
+                            relative_position_bias=torch.from_numpy(bias))
+
+    got, _ = block_forward(
+        params, spec, spec.blocks[layer], jnp.asarray(x),
+        jnp.asarray(mask.astype(np.int32)), jnp.asarray(bias), type_id)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=2e-5, rtol=1e-4)
