@@ -131,3 +131,37 @@ def test_msrvtt_frame_dataset(root, tmp_path):
     a = ds_eval[0]["image"]
     b = ds_eval[0]["image"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_msrvtt_multi_frame_sampling(root, tmp_path):
+    """size_frame>1 stacks (T, C, H, W) with clip-strided frame selection
+    (reference msrvtt_dataset.py:130-155; config num_frames)."""
+    import json
+    from vl_merging_tpu.data.video import MSRVTTDataset
+    from vl_merging_tpu.data.text import build_tokenizer
+
+    vdir = str(tmp_path / "video")
+    rows = [[f"video{i}", "{}"] + [_b64_jpeg(i + 7 * j) for j in range(5)]
+            for i in range(2)]
+    write_tsv(rows, os.path.join(vdir, "msrvtt_train.tsv"))
+    caps = {f"video{i}": [f"clip {i}"] for i in range(2)}
+    with open(os.path.join(vdir, "msrvtt_train.caption.json"), "w") as f:
+        json.dump(caps, f)
+
+    tok = build_tokenizer(os.path.join(root, "vocab.txt"))
+    ds = MSRVTTDataset(
+        data_dir=vdir, transform_keys=["square_transform"], image_size=32,
+        max_text_len=12, tokenizer=tok, split="train", size_frame=2)
+    s = ds[0]
+    assert s["image"].shape == (2, 3, 32, 32)
+
+    # eval multi-frame: deterministic even spread over the whole clip
+    ds_eval = MSRVTTDataset(
+        data_dir=vdir, names=["msrvtt_train"],
+        transform_keys=["square_transform"], image_size=32,
+        max_text_len=12, tokenizer=tok, split="val", size_frame=3)
+    assert ds_eval.temporal_sample(5, random_sample=False,
+                                   center_frame=False) == [0, 2, 4]
+    a = ds_eval[0]["image"]
+    assert a.shape == (3, 3, 32, 32)
+    np.testing.assert_array_equal(a, ds_eval[0]["image"])

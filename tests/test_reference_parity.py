@@ -554,3 +554,133 @@ def test_block_forward_vs_executed_reference(mode, layer, type_id):
         jnp.asarray(mask.astype(np.int32)), jnp.asarray(bias), type_id)
     np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Temporal/video rel-pos buffers (vilt_module.py:216-261) and frame sampling
+# (msrvtt_dataset.py:122-155) vs the EXECUTED reference code
+# ---------------------------------------------------------------------------
+
+
+def _exec_temporal_init(num_frames, max_text_len, max_imag_len, num_heads,
+                        num_layers, rel_idx, text_rel_idx,
+                        num_relative_distance, max_vl_text_len):
+    """Execute the reference __init__'s temporal-embedding statements (the
+    ``self.num_frames`` assignment and the ``if self.num_frames >= 1``
+    block, vilt_module.py:216-261) against a faked ``self``."""
+    import torch.nn as nn
+
+    with open(REF) as f:
+        tree = ast.parse(f.read())
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "ViLTransformerSS")
+    init = next(n for n in cls.body
+                if isinstance(n, ast.FunctionDef) and n.name == "__init__")
+    start = next(i for i, s in enumerate(init.body)
+                 if isinstance(s, ast.Assign) and len(s.targets) == 1
+                 and ast.unparse(s.targets[0]) == "self.num_frames")
+    stmts = init.body[start:start + 2]
+    assert isinstance(stmts[1], ast.If), "reference layout changed"
+
+    me = types.SimpleNamespace(
+        hparams=types.SimpleNamespace(config={"num_frames": num_frames}),
+        relative_position_index=rel_idx,
+        text_relative_position_index=text_rel_idx,
+        num_relative_distance=num_relative_distance,
+        max_vl_text_len=max_vl_text_len,
+    )
+    me.register_buffer = lambda n, t: setattr(me, n, t)
+    ns = {"torch": torch, "nn": nn, "self": me,
+          "max_text_len": max_text_len, "max_imag_len": max_imag_len,
+          "num_heads": num_heads, "num_layers": num_layers,
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(body=stmts, type_ignores=[]), REF, "exec"), ns)
+    return me
+
+
+@pytest.mark.parametrize("num_frames,vl_len", [(1, None), (3, None), (4, 6)])
+def test_temporal_buffers_vs_executed_reference(num_frames, vl_len):
+    from vl_merging_tpu.models import relpos
+
+    window, max_text, init_len, heads, layers = 3, 8, 16, 2, 4
+    max_imag = window * window + 1
+    nrd = (2 * window - 1) ** 2 + 3
+    rel = torch.from_numpy(relpos.image_relative_position_index(window))
+    trel = torch.from_numpy(
+        relpos.text_relative_position_index(max_text, init_len, window))
+
+    me = _exec_temporal_init(num_frames, max_text, max_imag, heads, layers,
+                             rel, trel, nrd, vl_len)
+
+    np.testing.assert_array_equal(
+        me.video_relative_position_index.numpy(),
+        relpos.video_relative_position_index(window, num_frames))
+    np.testing.assert_array_equal(
+        me.text_video_relative_position_index.numpy(),
+        relpos.text_video_relative_position_index(
+            max_text, init_len, window, num_frames))
+    np.testing.assert_array_equal(
+        me.temporal_relative_position_index.numpy(),
+        relpos.temporal_relative_position_index(window, num_frames))
+    np.testing.assert_array_equal(
+        me.mask_for_combining_temporal.numpy(),
+        relpos.mask_for_combining_temporal(window, num_frames))
+    assert tuple(me.temporal_relative_position_bias_table.shape) == \
+        (2 * num_frames, heads * layers)
+    if vl_len is not None:
+        np.testing.assert_array_equal(
+            me.vl_text_video_relative_position_index.numpy(),
+            relpos.text_video_relative_position_index(
+                max_text, init_len, window, num_frames, vl_text_len=vl_len))
+
+
+def _extract_msrvtt(name):
+    path = "/root/reference/src/vilt/datasets/msrvtt_dataset.py"
+    import math
+    import random as _random
+
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "TCSVBaseDataset")
+    fn = next(n for n in cls.body
+              if isinstance(n, ast.FunctionDef) and n.name == name)
+    ns = {"math": math, "random": _random,
+          "print": lambda *a, **k: None}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), path, "exec"), ns)
+    return ns[name]
+
+
+@pytest.mark.parametrize("size_frame", [1, 2, 4])
+@pytest.mark.parametrize("split,center", [("train", False), ("val", True)])
+def test_temporal_sample_vs_executed_reference(size_frame, split, center):
+    """Frame selection matches the executed reference temporal_sample for
+    train (seeded random clip start) and eval (center/even spread)."""
+    import random as _random
+
+    from vl_merging_tpu.data.video import FrameTSVDataset
+
+    ref_sampling = _extract_msrvtt("sampling")
+    ref_temporal = _extract_msrvtt("temporal_sample")
+    center_frame = center and size_frame == 1
+
+    # n_avail < size_frame crashes the reference itself (its error print
+    # at msrvtt_dataset.py:135-136 uses an unbound local); we clamp
+    # gracefully instead, so parity only covers the executable domain.
+    for n_avail in (n for n in (1, 2, 3, 5, 8, 32)
+                    if n == 1 or n >= size_frame):
+        ref_self = types.SimpleNamespace(size_frame=size_frame,
+                                         sampling=None)
+        ref_self.sampling = lambda s, e, n: ref_sampling(ref_self, s, e, n)
+        ours = FrameTSVDataset.__new__(FrameTSVDataset)
+        ours.size_frame = size_frame
+        for seed in (0, 1, 2):
+            _random.seed(seed)
+            want = ref_temporal(ref_self, list(range(n_avail)),
+                                random_sample=split == "train",
+                                center_frame=center_frame)
+            _random.seed(seed)
+            got = ours.temporal_sample(n_avail,
+                                       random_sample=split == "train",
+                                       center_frame=center_frame)
+            assert got == list(want), (n_avail, seed)

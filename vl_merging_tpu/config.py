@@ -717,6 +717,25 @@ VIT_PRESETS = {
                                   num_layers=24, patch_size=32),
     "vit_huge_patch14_224": dict(hidden_size=1280, num_heads=16,
                                  num_layers=32, patch_size=14),
+    # DeiT variants (vision_transformer.py:1609-1714); the *_distilled_*
+    # ones build DistilledVisionTransformer (dist token + abs pos embeds +
+    # dynamic patch sampling — models/distilled.py)
+    "vit_deit_tiny_patch16_224": dict(hidden_size=192, num_heads=3,
+                                      num_layers=12, patch_size=16),
+    "vit_deit_small_patch16_224": dict(hidden_size=384, num_heads=6,
+                                       num_layers=12, patch_size=16),
+    "vit_deit_base_patch16_224": dict(hidden_size=768, num_heads=12,
+                                      num_layers=12, patch_size=16),
+    "vit_deit_base_patch16_384": dict(hidden_size=768, num_heads=12,
+                                      num_layers=12, patch_size=16),
+    "vit_deit_tiny_distilled_patch16_224": dict(
+        hidden_size=192, num_heads=3, num_layers=12, patch_size=16),
+    "vit_deit_small_distilled_patch16_224": dict(
+        hidden_size=384, num_heads=6, num_layers=12, patch_size=16),
+    "vit_deit_base_distilled_patch16_224": dict(
+        hidden_size=768, num_heads=12, num_layers=12, patch_size=16),
+    "vit_deit_base_distilled_patch16_384": dict(
+        hidden_size=768, num_heads=12, num_layers=12, patch_size=16),
 }
 
 

@@ -49,6 +49,7 @@ class ArrowDataset:
         draw_false_text: int = 0,
         image_only: bool = False,
         tokenizer=None,
+        size_frame: int = 1,  # video-only knob; ignored for arrow images
     ):
         self.data_dir = data_dir
         self.names = names

@@ -62,6 +62,7 @@ class DataModule:
                 draw_false_image=cfg["draw_false_image"],
                 draw_false_text=cfg["draw_false_text"],
                 image_only=cfg["image_only"],
+                size_frame=cfg["num_frames"],
             )
         return kwargs
 

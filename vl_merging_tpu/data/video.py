@@ -80,20 +80,58 @@ class FrameTSVDataset:
     def __len__(self) -> int:
         return len(self.index_mapper)
 
-    def _sample_frame(self, row: List[str]) -> int:
-        n_frames = len(row) - 2
-        if n_frames <= 1:
-            return 2
-        if self.split == "train":
-            return 2 + random.randrange(n_frames)
-        return 2 + n_frames // 2  # deterministic middle frame for eval
+    @staticmethod
+    def _sampling(start: int, end: int, n: int) -> List[int]:
+        """Evenly spaced indices incl. endpoints; n=1 → midpoint
+        (reference msrvtt_dataset.py:122-128)."""
+        if n == 1:
+            return [int(round((start + end) / 2.0))]
+        step = (end - start) / float(n - 1)
+        return [int(round(start + x * step)) for x in range(n)]
+
+    def temporal_sample(self, n_avail: int, *, random_sample: bool,
+                        center_frame: bool) -> List[int]:
+        """Pick ``size_frame`` frame indices out of ``n_avail``
+        (reference msrvtt_dataset.py:130-155): eval single-frame takes the
+        middle frame; train picks a random clip start and samples evenly
+        to the clip-strided end; multi-frame eval spans the whole clip."""
+        if n_avail == 1 or self.size_frame == n_avail:
+            return list(range(n_avail))
+        size_frame = min(self.size_frame, n_avail)
+        size_clips = -(-n_avail // size_frame)  # ceil
+        if center_frame:
+            start = end = n_avail // 2
+        elif random_sample:
+            start = random.choice(range(size_clips))
+            end = min(start + (size_frame - 1) * size_clips, n_avail - 1)
+        else:
+            start = 0
+            end = n_avail - 1
+        return self._sampling(start, end, size_frame)
+
+    def _sample_frames(self, row: List[str]) -> List[int]:
+        n_frames = max(len(row) - 2, 1)
+        random_sample = self.split == "train"
+        idx = self.temporal_sample(
+            n_frames, random_sample=random_sample,
+            center_frame=(not random_sample and self.size_frame == 1))
+        return [2 + i for i in idx]
 
     def __getitem__(self, index: int) -> Dict:
         row_idx, cap_idx = self.index_mapper[index]
         row = self.tsv[row_idx]
-        img = decode_b64_image(row[self._sample_frame(row)])
+        frames = [self.transforms[0](decode_b64_image(row[i]))
+                  for i in self._sample_frames(row)]
+        # single-frame (all reference configs: num_frames=1) keeps the image
+        # contract; multi-frame stacks (T, C, H, W) like the reference's
+        # torch.stack(image_tensor, dim=0) (msrvtt_dataset.py:200-210)
+        if len(frames) == 1:
+            image = frames[0]
+        else:
+            import numpy as _np
+            image = _np.stack(frames, axis=0)
         ret: Dict = {
-            "image": self.transforms[0](img),
+            "image": image,
             "img_index": row_idx,
             "cap_index": cap_idx,
             "raw_index": index,

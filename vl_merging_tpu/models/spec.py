@@ -75,6 +75,9 @@ class ModelSpec:
     compute_dtype: str           # "bfloat16" | "float32"
     remat: bool = False          # rematerialize blocks in the bwd pass
     attention_logits_dtype: str = "f32"  # "f32" parity | "bf16" fast eval
+    num_frames: int = 1          # video frames (reference config.py:56)
+    distilled: bool = False      # DeiT dist token + abs pos embeds
+                                 # (vision_transformer.py:1011-1027)
 
     @property
     def head_dim(self) -> int:
@@ -192,6 +195,8 @@ def make_model_spec(cfg: dict) -> ModelSpec:
         compute_dtype="bfloat16" if cfg["precision"] == "bf16" else "float32",
         remat=cfg["use_remat"],
         attention_logits_dtype=cfg["attention_logits_dtype"],
+        num_frames=cfg["num_frames"],
+        distilled="distilled" in cfg["vit"],
     )
 
 
@@ -257,6 +262,11 @@ def param_shapes(spec: ModelSpec) -> Dict[str, Tuple[int, ...]]:
 
     shapes["transformer.cls_token"] = (1, 1, hs)
     shapes["transformer.mask_token"] = (1, 1, hs)
+    if spec.distilled:
+        # DeiT dist token + absolute pos embeds (cls+dist+patches)
+        # (vision_transformer.py:1020-1026)
+        shapes["transformer.dist_token"] = (1, 1, hs)
+        shapes["transformer.pos_embed"] = (1, spec.num_patches + 2, hs)
     shapes["transformer.patch_embed.proj.weight"] = (
         hs, 3, spec.patch_size, spec.patch_size)
     shapes["transformer.patch_embed.proj.bias"] = (hs,)
@@ -269,6 +279,12 @@ def param_shapes(spec: ModelSpec) -> Dict[str, Tuple[int, ...]]:
     # (reference vilt_module.py:139-140).
     shapes["relative_position_bias_table"] = (
         spec.all_num_relative_distance, spec.num_heads * spec.num_layers)
+    # Temporal bias table: an nn.Parameter in every reference checkpoint
+    # (vilt_module.py:231-232, created for any num_frames >= 1); its lookup
+    # (get_temporal_rel_pos_bias, :1066-1069) is never called by reference
+    # forward paths — kept for key-for-key state_dict parity.
+    shapes["temporal_relative_position_bias_table"] = (
+        2 * spec.num_frames, spec.num_heads * spec.num_layers)
 
     shapes["pooler.dense.weight"] = (hs, hs)
     shapes["pooler.dense.bias"] = (hs,)
@@ -339,11 +355,13 @@ def init_params(spec: ModelSpec, seed: int = 0) -> Params:
         key = jax.random.fold_in(root, hash(name) & 0x7FFFFFFF)
         if name.endswith("gamma_1") or name.endswith("gamma_2"):
             val = jnp.full(shape, 0.1, jnp.float32)  # LayerScale init 0.1
-        elif name == "relative_position_bias_table":
+        elif name in ("relative_position_bias_table",
+                      "temporal_relative_position_bias_table"):
             val = jnp.zeros(shape, jnp.float32)
         elif name in ("logit_scale", "logit_vl_scale"):
             val = jnp.asarray(np.log(1 / 0.07), jnp.float32)
-        elif name in ("transformer.cls_token", "transformer.mask_token"):
+        elif name in ("transformer.cls_token", "transformer.mask_token",
+                      "transformer.dist_token", "transformer.pos_embed"):
             val = _trunc_normal(key, shape)
         elif name == "transformer.patch_embed.proj.weight":
             fan_in = shape[1] * shape[2] * shape[3]
