@@ -182,7 +182,7 @@ def test_padded_trunk_matches_unpadded():
                        image_size=256, patch_size=16, max_text_len=8,
                        max_text_len_of_initckpt=16,
                        vlffn_start_layer_index=2, precision="f32"))
-    spec = make_model_spec(cfg)     # 257 image tokens -> pads to 384
+    spec = make_model_spec(cfg)     # 257 image tokens -> pads to 272
     params = init_params(spec, 0)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randn(2, 3, 256, 256).astype(np.float32))

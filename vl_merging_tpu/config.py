@@ -107,7 +107,14 @@ def base_config() -> ConfigDict:
         lr_mult=1,
 
         use_cpu=False,
-        use_remat=False,  # jax.checkpoint each block (memory ↔ FLOPs)
+        # Surgical rematerialization (recompute the O(N²) attention
+        # einsums in the backward pass, keep projection outputs saved).
+        # Measured FASTER than saving everything on v5e — 187.5 vs 213.1
+        # ms/step on the ViT-B @224 pretrain step (tools/train_probe.py):
+        # skipping the forward-pass HBM writes of the (B,H,N,N) f32
+        # logits/probs outweighs the bwd recompute — and it cuts live
+        # memory enough for per-chip batches ≥65.
+        use_remat=True,
 
         all_mlp_mult=False,
         all_vl_mult=False,

@@ -133,13 +133,18 @@ def precompute_bias(params: Params, spec: ModelSpec, kind: str,
 
 
 def _seq_pad(spec: ModelSpec, n: int) -> int:
-    """Lane-aligned sequence length for the Pallas fast path: one pad at
-    trunk entry replaces a pad+slice copy pair in every layer."""
+    """Tile-aligned sequence length for the Pallas fast path: one pad at
+    trunk entry replaces a pad+slice copy pair in every layer.
+
+    Sublane (16) alignment suffices for the packed kernel's (bb, N, 128)
+    blocks — Mosaic pads the trailing dim of the (bb, N, N) logits tile
+    internally.  577 → 592 instead of 640 cuts ~7.5% of every projection/
+    MLP row and logit row vs full lane (128) alignment."""
     from .mome import _USE_PALLAS
 
-    if not _USE_PALLAS.get() or n % 128 == 0 or n < 256:
+    if not _USE_PALLAS.get() or n % 16 == 0 or n < 256:
         return n
-    return (n + 127) // 128 * 128
+    return (n + 15) // 16 * 16
 
 
 

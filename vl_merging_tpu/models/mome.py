@@ -73,7 +73,7 @@ def attention(
     packed_ok = (
         _USE_PALLAS.get()
         and jax.default_backend() == "tpu"
-        and N % 128 == 0
+        and N % 16 == 0 and N >= 256
         and head_dim == 64 and num_heads % 2 == 0
         and rel_bias is not None and mask is not None
         and logits_dtype == jnp.float32
@@ -261,7 +261,7 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     N = x.shape[1]
     if (not _USE_PALLAS.get() or train or _ACTIVE_TAP.get() is not None
             or jax.default_backend() != "tpu"
-            or N % 128 != 0 or rel_bias is None or mask is None
+            or N % 16 != 0 or N < 256 or rel_bias is None or mask is None
             or spec.attention_logits_dtype != "f32"
             or spec.num_heads % 2 != 0
             or spec.hidden_size // spec.num_heads != 64):

@@ -242,10 +242,13 @@ def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
                              block_b: int = 4):
     """Fused attention over packed qkv (B, Np, 3C) → context (B, Np, C).
 
-    Requires Np % 128 == 0 (callers pre-pad the sequence once per forward;
-    see model._pad_seq) and head_dim == 64.  Eliminates the reshape/
-    transpose of qkv to (3, B, H, N, d) and the context transpose back —
-    ~1.4 ms/layer of pure HBM shuffle at B64 N640 on v5e."""
+    Requires Np % 16 == 0 (sublane alignment; callers pre-pad the sequence
+    once per forward — see model._seq_pad) and head_dim == 64.  Np need
+    not be lane-aligned: the (bb, Np, Np) logits tile's trailing dim is
+    padded by Mosaic internally, and shaving query/key rows (577→592
+    instead of →640 at ViT-B @384) cuts real MXU work.  Eliminates the
+    reshape/transpose of qkv to (3, B, H, N, d) and the context transpose
+    back — ~1.4 ms/layer of pure HBM shuffle at B64 N640 on v5e."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -341,7 +344,7 @@ def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
     B, N, threeC = qkv.shape
     C = threeC // 3
     head_dim = C // num_heads
-    ok = (jax.default_backend() == "tpu" and N % 128 == 0
+    ok = (jax.default_backend() == "tpu" and N % 16 == 0 and N >= 256
           and head_dim == 64 and num_heads % 2 == 0
           and bias is not None)
     if not ok:
