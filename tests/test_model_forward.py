@@ -261,3 +261,43 @@ def test_padded_fused_trunk_matches_unpadded():
                 np.asarray(plain[k]), np.asarray(padded[k]), atol=2e-5,
                 err_msg=f"{mode}:{k}")
         assert padded["image_feats"].shape == plain["image_feats"].shape
+
+
+@pytest.mark.parametrize("mode", ["ufo", "all_moe"])
+def test_segment_padded_fused_trunk_matches_unpadded(mode):
+    """Fused (type_id=2) pass with per-segment sublane padding (text→16k,
+    image→16k; block_forward's per-half recursion for split blocks) must
+    equal the unpadded path — on CPU the kernels fall back to identical
+    XLA math, so any difference is a padding/bias-layout bug."""
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.models.mome import pallas_attention
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", mode,
+        overrides=dict(hidden_size=128, num_heads=2, num_layers=3,
+                       image_size=256, patch_size=16, max_text_len=11,
+                       max_text_len_of_initckpt=16,
+                       vlffn_start_layer_index=2, precision="f32",
+                       tasks=None, max_vl_text_len=None))
+    spec = make_model_spec(cfg)   # text 11→16, image 257→272
+    params = init_params(spec, 0)
+    rng = np.random.RandomState(1)
+    batch = {
+        "text_ids": jnp.asarray(
+            rng.randint(0, spec.vocab_size, (2, spec.max_text_len))),
+        "text_masks": jnp.asarray(
+            (np.arange(spec.max_text_len)[None, :]
+             < np.array([7, 11])[:, None]).astype(np.int32)),
+        "image": jnp.asarray(
+            rng.randn(2, 3, 256, 256).astype(np.float32)),
+    }
+
+    plain = model.infer(params, spec, batch)
+    with pallas_attention(True):
+        padded = model.infer(params, spec, batch)
+    for k in ("cls_feats", "raw_cls_feats", "text_feats", "image_feats"):
+        assert padded[k].shape == plain[k].shape, k
+        np.testing.assert_allclose(
+            np.asarray(plain[k]), np.asarray(padded[k]), atol=2e-5,
+            err_msg=f"{mode}: {k}")

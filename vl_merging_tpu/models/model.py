@@ -13,7 +13,7 @@ Batches are dicts of arrays:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,7 +109,9 @@ def _drop_path_rates(spec: ModelSpec):
 
 def precompute_bias(params: Params, spec: ModelSpec, kind: str,
                     true_length: Optional[int] = None,
-                    pad_to: Optional[int] = None) -> jax.Array:
+                    pad_to: Optional[int] = None,
+                    segment_pad: Optional[Tuple[int, int, int]] = None
+                    ) -> jax.Array:
     """Per-layer rel-pos bias (L, H, N, N), input-independent.
 
     Eval loops should compute this once and pass it via ``rel_bias`` to
@@ -121,6 +123,15 @@ def precompute_bias(params: Params, spec: ModelSpec, kind: str,
     and padded query rows are discarded, so the values never matter — and
     keeps the gather itself fusable (padding the gathered bias instead
     would materialize the full (L,H,N,N) tensor)."""
+    if kind == "fused" and segment_pad is not None:
+        # segment_pad = (text_len, pad_t, pad_i): runtime text length plus
+        # the two padded segment sizes
+        index = relpos.fused_index_padded(
+            spec.max_text_len, spec.max_text_len_of_initckpt, spec.window,
+            *segment_pad)
+        return relpos.per_layer_bias(
+            params["relative_position_bias_table"], index,
+            spec.num_layers, spec.num_heads)
     index = {"fused": lambda: relpos.fused_index(spec),
              "text": lambda: relpos.text_index(spec, true_length),
              "image": lambda: relpos.image_index(spec)}[kind]()
@@ -204,27 +215,43 @@ def infer(
                                axis=1)
 
     text_len = t_emb.shape[1]
+    image_len = i_emb.shape[1]
     n = x.shape[1]
-    np_ = _seq_pad(spec, n)
-    if rel_bias is not None and rel_bias.shape[-1] != np_:
-        np_ = n
-    if np_ != n:
-        # lane-align once for the packed Pallas path; padded keys masked,
-        # padded (trailing image-side) query rows sliced off below
-        x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+    # Per-segment sublane alignment for the packed Pallas path: padding
+    # text→np_t and image→np_i (instead of one trailing pad) keeps BOTH
+    # modality halves 16-aligned, so split-per-modality blocks
+    # (separate_plain / self_attn_for_single_mode — block_forward's
+    # per-half recursion) stay on the fused kernels too.  Padded rows are
+    # mask-zero keys and discarded query rows; bias pad slots use bucket 0.
+    from .mome import _USE_PALLAS
+    if _USE_PALLAS.get() and n >= 256:
+        np_t = (text_len + 15) // 16 * 16
+        np_i = (image_len + 15) // 16 * 16
+    else:
+        np_t, np_i = text_len, image_len
+    if rel_bias is not None and rel_bias.shape[-1] != np_t + np_i:
+        np_t, np_i = text_len, image_len
+    if (np_t, np_i) != (text_len, image_len):
+        zeros = jnp.zeros((x.shape[0], np_t - text_len, x.shape[2]), x.dtype)
+        zeros_i = jnp.zeros((x.shape[0], np_i - image_len, x.shape[2]),
+                            x.dtype)
+        x = jnp.concatenate([t_emb, zeros, i_emb, zeros_i], axis=1)
+        mz = jnp.zeros((x.shape[0], np_t - text_len), co_masks.dtype)
+        mz_i = jnp.zeros((x.shape[0], np_i - image_len), co_masks.dtype)
         co_masks = jnp.concatenate(
-            [co_masks, jnp.zeros((x.shape[0], np_ - n), co_masks.dtype)],
-            axis=1)
+            [text_masks.astype(jnp.int32), mz, image_masks, mz_i], axis=1)
 
     bias = rel_bias if rel_bias is not None else precompute_bias(
-        params, spec, "fused", pad_to=np_)
+        params, spec, "fused", segment_pad=(text_len, np_t, np_i)
+        if (np_t, np_i) != (text_len, image_len) else None)
     dprates = _drop_path_rates(spec)
 
     for i, b in enumerate(spec.blocks):
         x = _block_apply(params, spec, b, x, co_masks, bias[i], VL,
-                         dprates[i], rngs[i], train, text_len=text_len)
-    if np_ != n:
-        x = x[:, :n]
+                         dprates[i], rngs[i], train, text_len=np_t)
+    if (np_t, np_i) != (text_len, image_len):
+        x = jnp.concatenate(
+            [x[:, :text_len], x[:, np_t:np_t + image_len]], axis=1)
     x = _final_norm(params, x)
     cls_feats = pooler(params, x)
     return {

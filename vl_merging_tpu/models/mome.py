@@ -145,13 +145,6 @@ def apply_ln(
     return jnp.concatenate([x_text, x_imag], axis=1)
 
 
-def _split(x, mask, rel_bias, text_len):
-    tb = rel_bias[:, :text_len, :text_len]
-    ib = rel_bias[:, text_len:, text_len:]
-    return (x[:, :text_len], x[:, text_len:], mask[:, :text_len],
-            mask[:, text_len:], tb, ib)
-
-
 def _attn_part(
     params: Params, p: str, b: BlockSpec, x: jax.Array,
     mask: Optional[jax.Array], rel_bias: Optional[jax.Array],
@@ -173,17 +166,13 @@ def _attn_part(
         return apply_ln(params, p, "norm1", b.norm1_experts, b, type_id, v,
                         text_len)
 
+    # NOTE: the split-per-modality cases (separate_plain :560-605, moe
+    # self_attn_for_single_mode :619-637) never reach here — block_forward
+    # recurses on the two halves as type-L/type-V blocks instead.
     if b.kind == "moe" and b.attn_experts:
         if type_id in (V, L) or (type_id == VL and b.has_vl):
             t = _TASK_OF_TYPE[type_id]
             return attn(f"{p}.attn.{t}", ln1(x), mask, rel_bias)
-        if b.self_attn_single:
-            # per-modality self-attention on split halves (:619-637)
-            _x = ln1(x)
-            xt, xi, mt, mi, bt, bi = _split(_x, mask, rel_bias, text_len)
-            ot, at = attn(f"{p}.attn.l", xt, mt, bt)
-            oi, ai = attn(f"{p}.attn.v", xi, mi, bi)
-            return jnp.concatenate([ot, oi], axis=1), ai
         # both experts over all tokens, re-concat each modality's half (:639-649)
         _x = ln1(x)
         ot, at = attn(f"{p}.attn.l", _x, mask, rel_bias)
@@ -192,20 +181,8 @@ def _attn_part(
         probs = None if at is None or ai is None else (at + ai) / 2
         return out, probs
 
-    # shared attention weights
-    joint = (
-        type_id in (V, L)
-        or (type_id == VL and b.has_vl)
-        or not b.self_attn_single
-    )
-    if joint:
-        return attn(f"{p}.attn", ln1(x), mask, rel_bias)
-    # shared weights, modality-block-diagonal attention (:560-584)
-    _x = ln1(x)
-    xt, xi, mt, mi, bt, bi = _split(_x, mask, rel_bias, text_len)
-    ot, at = attn(f"{p}.attn", xt, mt, bt)
-    oi, ai = attn(f"{p}.attn", xi, mi, bi)
-    return jnp.concatenate([ot, oi], axis=1), ai
+    # shared attention weights, joint attention
+    return attn(f"{p}.attn", ln1(x), mask, rel_bias)
 
 
 def _mlp_part(
@@ -225,14 +202,9 @@ def _mlp_part(
         hi = mlp(params, f"{p}.mlp.v", _x[:, text_len:])
         return jnp.concatenate([ht, hi], axis=1)
 
-    if (b.kind == "sep_plain" and type_id == VL and not b.has_vl):
-        # shared weights but split halves (:588-601); numerically identical to
-        # the joint MLP — kept split only to mirror reference structure
-        _x = ln2(x)
-        ht = mlp(params, f"{p}.mlp", _x[:, :text_len])
-        hi = mlp(params, f"{p}.mlp", _x[:, text_len:])
-        return jnp.concatenate([ht, hi], axis=1)
-
+    # (sep_plain VL-without-vl is handled by block_forward's per-half
+    # recursion; the reference's split shared MLP :588-601 is numerically
+    # identical to running the halves separately)
     return mlp(params, f"{p}.mlp", ln2(x))
 
 
@@ -266,8 +238,6 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
             or spec.num_heads % 2 != 0
             or spec.hidden_size // spec.num_heads != 64):
         return None
-    if type_id == VL and not b.has_vl and b.self_attn_single:
-        return None  # modality-block-diagonal attention: split path
     sfx = {w: _single_expert_suffix(b, type_id, w)
            for w in ("attn", "mlp", "norm1", "norm2")}
     if any(v is None for v in sfx.values()):
@@ -320,6 +290,27 @@ def block_forward(
         text_len = spec.max_text_len
         if type_id == VL and x.shape[1] != text_len + spec.image_len:
             text_len = x.shape[1] - spec.image_len
+
+    if type_id == VL and not b.has_vl and b.self_attn_single:
+        # Split-per-modality block (separate_plain_forward :560-605, moe
+        # self_attn_for_single_mode :619-637, moe-without-attn-experts
+        # separate_inference :651-654): the computation is EXACTLY the
+        # text half as a type-L block plus the image half as a type-V
+        # block — same expert/LN routing, modality-local attention, shared
+        # gamma/drop-path (same rng ⇒ identical per-sample masks).  The
+        # recursion lets each half hit the fused Pallas fast path when its
+        # (per-segment padded) length qualifies.
+        xt, at = block_forward(
+            params, spec, b, x[:, :text_len], None if mask is None
+            else mask[:, :text_len], None if rel_bias is None
+            else rel_bias[:, :text_len, :text_len], L,
+            drop_path_rate=drop_path_rate, rng=rng, train=train)
+        xi, ai = block_forward(
+            params, spec, b, x[:, text_len:], None if mask is None
+            else mask[:, text_len:], None if rel_bias is None
+            else rel_bias[:, text_len:, text_len:], V,
+            drop_path_rate=drop_path_rate, rng=rng, train=train)
+        return jnp.concatenate([xt, xi], axis=1), ai
 
     r1 = r2 = None
     if train and rng is not None:

@@ -95,6 +95,36 @@ def fused_index(spec: ModelSpec) -> np.ndarray:
         spec.max_vl_text_len)
 
 
+@functools.lru_cache(maxsize=None)
+def fused_index_padded(
+    max_text_len: int, max_text_len_of_initckpt: int, window: int,
+    text_len: int, pad_t: int, pad_i: int,
+) -> np.ndarray:
+    """Fused index with PER-SEGMENT padding: text rows occupy [0, text_len)
+    of a pad_t slot, image rows occupy [pad_t, pad_t + image_len) of a
+    pad_i slot.  Pad rows/cols use bucket 0 — they are attention-masked,
+    so the value never matters.  This keeps both modality halves
+    sublane-aligned for the packed Pallas kernels when split-per-modality
+    blocks (separate_plain / self_attn_for_single_mode) slice the sequence
+    at the padded text length.  ``text_len`` is the runtime text length
+    (already vl-truncated by the caller when max_vl_text_len applies)."""
+    num_relative_distance = (2 * window - 1) * (2 * window - 1) + 3
+    image_len = window * window + 1
+    t = text_len
+    assert pad_t >= t and pad_i >= image_len
+    t_idx = text_relative_position_index(
+        max_text_len, max_text_len_of_initckpt, window)[:t, :t]
+    i_idx = image_relative_position_index(window)
+
+    n = pad_t + pad_i
+    out = np.zeros((n, n), dtype=np.int64)
+    out[:t, :t] = t_idx
+    out[:t, pad_t:pad_t + image_len] = num_relative_distance          # t→i
+    out[pad_t:pad_t + image_len, :t] = num_relative_distance + 1      # i→t
+    out[pad_t:pad_t + image_len, pad_t:pad_t + image_len] = i_idx
+    return out
+
+
 def text_index(spec: ModelSpec, true_length: Optional[int] = None) -> np.ndarray:
     idx = text_relative_position_index(
         spec.max_text_len, spec.max_text_len_of_initckpt, spec.window)

@@ -149,6 +149,8 @@ def _pallas_attention_bb(q, k, v, bias, mask, scale: float, block_b: int = 4):
         ],
         out_specs=pl.BlockSpec((block_b, 1, Np, d), lambda h, b: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * block_b * Np * Np * d,
             transcendentals=block_b * Np * Np,
@@ -198,6 +200,10 @@ def _pallas_attention(q, k, v, bias, mask, scale: float):
         ],
         out_specs=pl.BlockSpec((1, 1, Np, d), lambda h, b: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
+        # the whole-row tile at N=1024 (VQA @480 split halves) needs ~20 MB
+        # of scoped VMEM; the default 18.25 MB limit rejects it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * Np * Np * d, transcendentals=Np * Np,
             bytes_accessed=(3 * Np * d + Np * Np + Np * d) * 4),
