@@ -44,6 +44,11 @@ def run_variant(name: str, overrides: dict, bsz: int = 22, iters: int = 10):
     from vl_merging_tpu.train import (
         make_optimizer, make_schedule, make_train_step, init_train_state)
 
+    from vl_merging_tpu.config import _loss_names
+
+    overrides = dict(overrides)
+    if "loss_names" in overrides:
+        overrides["loss_names"] = _loss_names(overrides["loss_names"])
     cfg = build_config(
         "task_mlm_itm_ifm_square_randaug_base", "all_moe",
         overrides=dict(dict(precision="bf16", max_steps=1000,
@@ -103,6 +108,12 @@ def main():
     }
     table.update({
         "bf16_remat": {"attention_logits_dtype": "bf16", "use_remat": True},
+        # task ablations (all with the remat default) — where the step
+        # time goes: mlm = 1 fused pass, ifm = text+image towers with
+        # vlffn re-runs, itm = global hard-negative pool + 3 fused passes
+        "only_mlm": {"loss_names": {"mlm": 1}},
+        "only_ifm": {"loss_names": {"ifm": 1}},
+        "only_itm": {"loss_names": {"itm": 1, "ifm": 1}},
     })
     for v in variants:
         if v[0] == "b" and v[1:].partition("_")[0].isdigit():
