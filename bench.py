@@ -47,7 +47,11 @@ IMAGE_SIZE = 384
 TRAIN_BATCH = 22          # the reference's per-GPU batch (README.md:81-103)
 TRAIN_ITERS = 10
 
-E2E_IMAGES = 256          # reduced COCO scale (5k images / 25k texts)
+import os
+
+# default: reduced scale; BENCH_E2E_IMAGES=5000 runs the full COCO-test
+# protocol size (5k images / 25k texts) — validated on-chip, see STATUS.md
+E2E_IMAGES = int(os.environ.get("BENCH_E2E_IMAGES", "256"))
 E2E_CAPS_PER_IMAGE = 5
 E2E_BATCH = 32
 
