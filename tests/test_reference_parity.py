@@ -684,3 +684,47 @@ def test_temporal_sample_vs_executed_reference(size_frame, split, center):
                                        random_sample=split == "train",
                                        center_frame=center_frame)
             assert got == list(want), (n_avail, seed)
+
+
+def test_text_embed_vs_real_transformers_bert_embeddings():
+    """text_embed == the ACTUAL transformers BertEmbeddings the reference
+    instantiates (vilt_module.py:51-64): position_embedding_type="rel_pos"
+    skips absolute position adds; word + token-type(0) -> LayerNorm."""
+    import jax.numpy as jnp
+    from transformers import BertConfig
+    from transformers.models.bert.modeling_bert import BertEmbeddings
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl",
+        overrides=dict(hidden_size=48, num_heads=2, num_layers=2,
+                       image_size=32, patch_size=16, max_text_len=9,
+                       max_text_len_of_initckpt=16, vocab_size=57,
+                       vlffn_start_layer_index=1, precision="f32",
+                       drop_rate=0.0))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 3)
+
+    bert_config = BertConfig(
+        vocab_size=spec.vocab_size, hidden_size=spec.hidden_size,
+        num_hidden_layers=spec.num_layers,
+        num_attention_heads=spec.num_heads,
+        intermediate_size=spec.hidden_size * 4,
+        max_position_embeddings=spec.max_text_len,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        position_embedding_type="rel_pos")
+    ref = BertEmbeddings(bert_config)
+    sd = {k[len("text_embeddings."):]: torch.from_numpy(np.asarray(v))
+          for k, v in params.items() if k.startswith("text_embeddings.")}
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not unexpected
+    ref.eval()
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, spec.vocab_size, (3, spec.max_text_len))
+    with torch.no_grad():
+        want = ref(input_ids=torch.from_numpy(ids)).numpy()
+    got = np.asarray(model.text_embed(params, spec, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-6)
