@@ -362,3 +362,40 @@ def test_itm_hardneg_loss_math(monkeypatch):
          "text_masks": jnp.asarray(masks)},
         jnp.asarray(sim_i2t), jnp.asarray(sim_t2i))["itm_loss"]
     _close(want, got)
+
+
+def test_irtr_recall_ranking_vs_executed_reference():
+    """Recall@k both directions (objectives.py:684-710): execute the
+    reference's ranking statements on canned features and compare with
+    evaluation.retrieval._topk_ids."""
+    from vl_merging_tpu.evaluation.retrieval import _topk_ids
+
+    with open(REF) as f:
+        tree = ast.parse(f.read())
+    fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+              and n.name == "compute_irtr_recall")
+    start = next(i for i, s in enumerate(fn.body)
+                 if isinstance(s, ast.Assign)
+                 and ast.unparse(s.targets[0]) == "scores")
+    stmts = [s for s in fn.body[start:] if not isinstance(s, ast.Return)]
+
+    rng = np.random.RandomState(8)
+    n_img, n_txt, H = 12, 37, 6
+    img = rng.randn(n_img, H).astype(np.float32)
+    txt = rng.randn(n_txt, H).astype(np.float32)
+    # caption->image ids: uneven grouping incl. ids that match nothing
+    tiids_np = rng.randint(0, n_img + 2, n_txt)
+    iids_np = np.arange(n_img)
+
+    ns = {"torch": torch,
+          "img_cls_feats": torch.from_numpy(img),
+          "txt_cls_feats": torch.from_numpy(txt),
+          "iids": torch.from_numpy(iids_np),
+          "tiids": torch.from_numpy(tiids_np)}
+    exec(compile(ast.Module(body=stmts, type_ignores=[]), REF, "exec"), ns)
+
+    scores = jnp.asarray(img) @ jnp.asarray(txt).T
+    got = _topk_ids(scores, jnp.asarray(iids_np), jnp.asarray(tiids_np))
+    for k in ("ir_r1", "ir_r5", "ir_r10", "tr_r1", "tr_r5", "tr_r10"):
+        np.testing.assert_allclose(float(got[k]), float(ns[k]), rtol=1e-6,
+                                   err_msg=k)
