@@ -83,8 +83,10 @@ def test_nlvr2_split():
     out = acc.compute()
     assert out["dev_nlvr2_accuracy"] == 0.5   # [T, F]
     assert out["test_nlvr2_accuracy"] == 1.0  # [T, T]
-    # the_metric picks dev accuracy for nlvr2
-    assert the_metric({"nlvr2": 1}, out) == 0.5
+    # the_metric tracks the TEST-split accuracy (reference
+    # last-assignment quirk, vilt_utils.py:119-143 — pinned by
+    # tests/test_schedule_reference_parity.py)
+    assert the_metric({"nlvr2": 1}, out) == 1.0
 
 
 def test_itm_rerank_improves_planted_signal():

@@ -129,3 +129,109 @@ def test_schedule_values_vs_executed_reference(decay_power, warmup, lr_mult):
         np.testing.assert_allclose(
             ours * lr_mult, base_lrs[2] * lam, rtol=5e-5, atol=1e-12,
             err_msg=f"head lr at step {step}")
+
+
+# ---------------------------------------------------------------------------
+# epoch_wrapup / the_metric (vilt_utils.py:56-207)
+# ---------------------------------------------------------------------------
+
+
+class _FakeMetric:
+    def __init__(self, value):
+        self._v = value
+
+    def compute(self):
+        return torch.tensor(float(self._v))
+
+    def reset(self):
+        pass
+
+
+class _WrapupPL:
+    """pl_module stub: metric attributes resolve from a canned dict."""
+
+    def __init__(self, config, metrics):
+        self.hparams = types.SimpleNamespace(config=config)
+        self.training = False
+        self.global_step = 0
+        self.logger = types.SimpleNamespace(
+            experiment=types.SimpleNamespace(add_scalar=lambda *a, **k: None))
+        self._metrics = metrics
+        self.logged = {}
+
+    def log(self, name, value):
+        self.logged[name] = float(value)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return _FakeMetric(self._metrics.get(name, 0.0))
+
+
+def _extract_epoch_wrapup(recall_tuple):
+    with open(REF) as f:
+        tree = ast.parse(f.read())
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "epoch_wrapup")
+    ns = {"torch": torch, "print": lambda *a, **k: None,
+          "compute_irtr_recall":
+              lambda pl, split="val": tuple(torch.tensor(float(v))
+                                            for v in recall_tuple)}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), REF, "exec"), ns)
+    return ns["epoch_wrapup"]
+
+
+import ast      # noqa: E402  (used by the wrapup extractor)
+from vl_merging_tpu.evaluation.metrics import the_metric  # noqa: E402
+
+
+@pytest.mark.parametrize("losses,recall", [
+    ({"mlm": 1, "itm": 1, "ifm": 1}, None),
+    ({"nlvr2": 1}, None),                 # dev vs test last-assignment quirk
+    ({"irtr": 1}, (0.11, 0.2, 0.3, 0.17, 0.4, 0.5)),
+    ({"vqa": 1}, None),
+    ({"mlm": 1, "mim": 1, "img_cls": 1}, None),
+])
+def test_the_metric_vs_executed_reference(losses, recall):
+    rng = np.random.RandomState(9)
+    vals = {}
+    computed = {}
+    for name in ("mlm", "mim", "itm", "img_cls", "text_only_mlm",
+                 "image_only_mim"):
+        v = float(rng.rand())
+        vals[f"val_{name}_accuracy"] = v
+        computed[f"{name}_accuracy"] = v
+    vals["val_vqa_score"] = computed["vqa_score"] = float(rng.rand())
+    for split in ("dev", "test"):
+        v = float(rng.rand())
+        vals[f"{split}_nlvr2_accuracy"] = v
+        computed[f"{split}_nlvr2_accuracy"] = v
+    for k in ("i2t", "t2i"):
+        v = float(rng.rand())
+        vals[f"val_irtr_{k}_accuracy"] = v
+        computed[f"irtr_{k}_accuracy"] = v
+        v = float(rng.rand())
+        vals[f"val_ifm_{k}_accuracy"] = v
+        computed[f"ifm_{k}_accuracy"] = v
+        v = float(rng.rand())
+        vals[f"val_ifm_vl_{k}_accuracy"] = v
+        computed[f"ifm_vl_{k}_accuracy"] = v
+
+    loss_names = {k: 0 for k in
+                  ("itm", "ifm", "mlm", "vqa", "nlvr2", "irtr", "mim",
+                   "image_only_mim", "text_only_mlm", "img_cls")}
+    loss_names.update(losses)
+    cfg = {"get_recall_metric": recall is not None,
+           "loss_names": loss_names}
+
+    ref = _extract_epoch_wrapup(recall or ())
+    pl = _WrapupPL(cfg, vals)
+    ref(pl)
+    want = pl.logged["val/the_metric"]
+
+    rec = None
+    if recall is not None:
+        rec = dict(zip(("ir_r1", "ir_r5", "ir_r10",
+                        "tr_r1", "tr_r5", "tr_r10"), recall))
+    got = the_metric(loss_names, computed, recall=rec)
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -7,7 +7,8 @@ already return global sums/counts (psum-equivalent reductions happen inside
 jit via the sharded batch), so accumulation is plain host-side adds.
 
 the_metric — the checkpoint-selection scalar — sums one value per active
-task: vqa score, nlvr2 dev accuracy, irtr t2i accuracy, itm accuracy,
+task: vqa score, nlvr2 TEST accuracy (a reference last-assignment quirk,
+vilt_utils.py:119-143), irtr t2i accuracy, itm accuracy,
 ifm vl_t2i accuracy, generic accuracy otherwise, plus ir_r1 + tr_r1 when
 retrieval recall is enabled.
 """
@@ -91,8 +92,13 @@ def the_metric(
         if name == "vqa":
             v = computed.get("vqa_score")
         elif name == "nlvr2":
-            v = computed.get("dev_nlvr2_accuracy",
-                             computed.get("nlvr2_accuracy"))
+            # reference quirk (vilt_utils.py:119-143): in the val phase
+            # ``value`` is reassigned to the TEST-split accuracy after the
+            # dev one before ``the_metric += value`` — so the
+            # checkpoint-selection scalar tracks test, not dev
+            v = computed.get("test_nlvr2_accuracy",
+                             computed.get("dev_nlvr2_accuracy",
+                                          computed.get("nlvr2_accuracy")))
         elif name == "irtr":
             v = computed.get("irtr_t2i_accuracy")
         elif name == "ifm":
