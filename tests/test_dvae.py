@@ -134,3 +134,46 @@ def test_decoder_matches_reference_torch_decoder():
     want_px = np.clip((torch.sigmoid(torch.from_numpy(want[:, :3])).numpy()
                        - 0.1) / 0.8, 0, 1)
     np.testing.assert_allclose(np.asarray(px), want_px, atol=2e-5)
+
+
+def test_encoder_matches_reference_torch_encoder():
+    """JAX encoder vs the ACTUAL reference dall_e.Encoder on random weights
+    (reference src/dall_e/encoder.py; attrs validators require n_hid>=64,
+    vocab>=512, so this is the smallest legal instantiation)."""
+    import sys
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(os.path.join(ref_src, "dall_e")):
+        pytest.skip("reference checkout not present")
+    sys.path.insert(0, ref_src)
+    try:
+        from dall_e.encoder import Encoder
+    finally:
+        sys.path.remove(ref_src)
+
+    vocab, n_hid, n_blk = 512, 64, 1
+    ref = Encoder(n_hid=n_hid, n_blk_per_group=n_blk, vocab_size=vocab,
+                  use_mixed_precision=False, requires_grad=False)
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    params = {k: jnp.asarray(p.detach().numpy())
+              for k, p in ref.named_parameters()}
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 3, 32, 32).astype(np.float32) * 0.8 + 0.1
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()         # B, vocab, 4, 4
+
+    got = np.asarray(encoder_logits(params, jnp.asarray(x),
+                                    n_blk_per_group=n_blk))
+    assert got.shape == want.shape == (2, vocab, 4, 4)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-4)
+
+    # argmax codebook ids agree wherever the top-2 logits aren't ulp-close
+    want_idx = want.argmax(1).reshape(2, -1)
+    got_idx = np.asarray(get_codebook_indices(
+        params, jnp.asarray(x), n_blk_per_group=n_blk))
+    agree = (want_idx == got_idx).mean()
+    assert agree > 0.99, agree

@@ -76,10 +76,11 @@ def encoder_logits(params: Params, x: jax.Array,
                  params["blocks.output.conv.b"])
 
 
-def get_codebook_indices(params: Params, x: jax.Array) -> jax.Array:
+def get_codebook_indices(params: Params, x: jax.Array,
+                         n_blk_per_group: int = DEFAULT_N_BLK) -> jax.Array:
     """argmax over vocabulary logits, flattened to (B, tokens)
     (modeling_discrete_vae.py:223-225)."""
-    logits = encoder_logits(params, x)
+    logits = encoder_logits(params, x, n_blk_per_group=n_blk_per_group)
     idx = jnp.argmax(logits, axis=1)            # B, S/8, S/8
     return idx.reshape(idx.shape[0], -1)
 
