@@ -728,3 +728,273 @@ def test_text_embed_vs_real_transformers_bert_embeddings():
         want = ref(input_ids=torch.from_numpy(ids)).numpy()
     got = np.asarray(model.text_embed(params, spec, jnp.asarray(ids)))
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# FULL fused-pass integration: the reference's infer() executed end-to-end
+# (real BertEmbeddings + extracted PatchEmbed/Block/visual_embed/Pooler +
+# rel-pos lookup) with OUR parameter dict loaded by state_dict name —
+# verifying the key layout and the whole forward in one shot
+# (vilt_module.py:1071-1156).
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_vit_pieces():
+    import math
+    from functools import partial
+
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    with open(VIT_REF) as f:
+        tree = ast.parse(f.read())
+    ns = {"torch": torch, "nn": nn, "F": F, "math": math,
+          "partial": partial, "DropPath": None,
+          "to_2tuple": lambda v: (v, v),
+          "rank_zero_info": lambda *a, **k: None}
+    for name in ("Mlp", "Attention", "Block", "PatchEmbed"):
+        node = next(n for n in tree.body
+                    if isinstance(n, ast.ClassDef) and n.name == name)
+        exec(compile(ast.Module(body=[node], type_ignores=[]), VIT_REF,
+                     "exec"), ns)
+    vit_cls = next(n for n in tree.body if isinstance(n, ast.ClassDef)
+                   and n.name == "VisionTransformer")
+    ve = next(n for n in vit_cls.body if isinstance(n, ast.FunctionDef)
+              and n.name == "visual_embed")
+    exec(compile(ast.Module(body=[ve], type_ignores=[]), VIT_REF, "exec"), ns)
+    return ns
+
+
+def _extract_vilt_methods(*names):
+    with open(REF) as f:
+        tree = ast.parse(f.read())
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "ViLTransformerSS")
+    import torch.nn.functional as F
+    ns = {"torch": torch, "F": F, "print": lambda *a, **k: None}
+    for name in names:
+        fn = next(n for n in cls.body
+                  if isinstance(n, ast.FunctionDef) and n.name == name)
+        exec(compile(ast.Module(body=[fn], type_ignores=[]), REF, "exec"), ns)
+    return ns
+
+
+def _assemble_reference_model(cfg, spec, params, mode):
+    """Reference modules wired together, weights = OUR param dict via
+    load_state_dict (verifies the 1:1 key layout as a side effect)."""
+    import torch.nn as nn
+    from functools import partial
+
+    from transformers import BertConfig
+    from transformers.models.bert.modeling_bert import BertEmbeddings
+
+    from vl_merging_tpu.models import relpos
+
+    ns = _load_ref_vit_pieces()
+    ufo_cfg, moe_cfg, ln_cfg = _mode_configs(mode)
+
+    bert_config = BertConfig(
+        vocab_size=spec.vocab_size, hidden_size=spec.hidden_size,
+        num_hidden_layers=spec.num_layers,
+        num_attention_heads=spec.num_heads,
+        intermediate_size=spec.hidden_size * 4,
+        max_position_embeddings=spec.max_text_len,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        position_embedding_type="rel_pos")
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = ns["PatchEmbed"](
+                img_size=spec.image_size, patch_size=spec.patch_size,
+                embed_dim=spec.hidden_size)
+            self.cls_token = nn.Parameter(
+                torch.zeros(1, 1, spec.hidden_size))
+            self.mask_token = nn.Parameter(
+                torch.zeros(1, 1, spec.hidden_size))
+            self.blocks = nn.ModuleList([
+                ns["Block"](
+                    dim=spec.hidden_size, num_heads=spec.num_heads,
+                    mlp_ratio=4.0, qkv_bias=True,
+                    norm_layer=partial(nn.LayerNorm, eps=1e-6),
+                    layer_number=i,
+                    vlffn_start_layer_index=spec.vlffn_start_layer_index,
+                    max_text_len=spec.max_text_len,
+                    ufo_config=ufo_cfg, moe_config=moe_cfg,
+                    ln_config=ln_cfg)
+                for i in range(spec.num_layers)])
+            self.norm = nn.LayerNorm(spec.hidden_size, eps=1e-6)
+            self.pos_embed = None
+            self.pos_drop = nn.Dropout(0.0)
+            self.add_norm_before_transformer = False
+
+    class Assembled(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.text_embeddings = BertEmbeddings(bert_config)
+            self.token_type_embeddings = nn.Embedding(
+                spec.token_type_count, spec.hidden_size)
+            self.transformer = Trunk()
+
+    # extract the reference Pooler (importing vilt.modules pulls Lightning)
+    heads_path = "/root/reference/src/vilt/modules/heads.py"
+    with open(heads_path) as f:
+        heads_tree = ast.parse(f.read())
+    pool_node = next(n for n in heads_tree.body
+                     if isinstance(n, ast.ClassDef) and n.name == "Pooler")
+    pool_ns = {"torch": torch, "nn": nn}
+    exec(compile(ast.Module(body=[pool_node], type_ignores=[]), heads_path,
+                 "exec"), pool_ns)
+
+    m = Assembled()
+    m.pooler = pool_ns["Pooler"](spec.hidden_size)
+    m.relative_position_bias_table = nn.Parameter(torch.zeros(
+        spec.all_num_relative_distance,
+        spec.num_heads * spec.num_layers))
+    m.transformer.visual_embed = types.MethodType(ns["visual_embed"],
+                                                  m.transformer)
+
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    # our dict may carry heads the assembled model doesn't have; the
+    # assembled model must not MISS any trunk/embedding key
+    trunk_missing = [k for k in missing if not k.startswith(
+        ("text_embeddings.position_ids",))]
+    assert not trunk_missing, trunk_missing[:8]
+    m.eval()
+
+    methods = _extract_vilt_methods("infer", "get_rel_pos_bias")
+    fused_idx = torch.from_numpy(relpos.fused_index(spec))
+
+    me = types.SimpleNamespace(
+        text_embeddings=m.text_embeddings,
+        token_type_embeddings=m.token_type_embeddings,
+        transformer=m.transformer,
+        pooler=m.pooler,
+        relative_position_bias_table=m.relative_position_bias_table,
+        hparams=types.SimpleNamespace(config={"max_image_len": -1}),
+        max_vl_text_len=None,
+        text_imag_relative_position_index=fused_idx,
+        num_layers=spec.num_layers,
+    )
+    me.get_rel_pos_bias = types.MethodType(methods["get_rel_pos_bias"], me)
+    me.infer = types.MethodType(methods["infer"], me)
+    return me
+
+
+@pytest.mark.parametrize("mode", ["ufo", "all_moe"])
+def test_full_infer_vs_assembled_reference(mode):
+    """End-to-end fused pass: our model.infer vs the reference's infer()
+    executed over real reference components loaded with OUR params."""
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", mode,
+        overrides=dict(hidden_size=64, num_heads=2, num_layers=3,
+                       image_size=64, patch_size=16, max_text_len=8,
+                       max_text_len_of_initckpt=16, vocab_size=99,
+                       vlffn_start_layer_index=2, precision="f32",
+                       drop_rate=0.0, tasks=None, max_vl_text_len=None))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 5)
+    ref = _assemble_reference_model(cfg, spec, params, mode)
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, spec.vocab_size, (2, spec.max_text_len))
+    masks = (np.arange(spec.max_text_len)[None]
+             < np.array([5, 8])[:, None]).astype(np.int64)
+    img = rng.randn(2, 3, 64, 64).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref.infer({
+            "text_ids": torch.from_numpy(ids),
+            "text_labels": torch.from_numpy(np.full_like(ids, -100)),
+            "text_masks": torch.from_numpy(masks),
+            "image": [torch.from_numpy(img)],
+        })
+
+    got = model.infer(params, spec, {
+        "text_ids": jnp.asarray(ids),
+        "text_masks": jnp.asarray(masks),
+        "image": jnp.asarray(img)})
+
+    for k in ("cls_feats", "raw_cls_feats", "text_feats", "image_feats"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), atol=3e-5,
+            err_msg=f"{mode}: {k}")
+
+
+@pytest.mark.parametrize("mode", ["ufo", "all_moe"])
+def test_infer_text_and_image_vs_assembled_reference(mode):
+    """Pretrain towers with the vlffn re-run (vilt_module.py:1159-1375):
+    reference infer_text/infer_image executed over assembled reference
+    components with OUR params vs our model.infer_text/infer_image."""
+    import jax.numpy as jnp
+    import torch.nn as nn
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+    from vl_merging_tpu.models import relpos
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", mode,
+        overrides=dict(hidden_size=64, num_heads=2, num_layers=3,
+                       image_size=64, patch_size=16, max_text_len=8,
+                       max_text_len_of_initckpt=16, vocab_size=99,
+                       vlffn_start_layer_index=2, precision="f32",
+                       drop_rate=0.0, tasks=None, max_vl_text_len=None))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 6)
+    ref = _assemble_reference_model(cfg, spec, params, mode)
+
+    # IFM projection heads (heads.py:30-37): bias-free linears
+    def proj(name):
+        fc = nn.Linear(spec.hidden_size, spec.hidden_size, bias=False)
+        with torch.no_grad():
+            fc.weight.copy_(torch.from_numpy(
+                np.asarray(params[f"{name}.fc.weight"])))
+        return lambda x, fc=fc: fc(x)
+
+    ref.ifm_text_proj = proj("ifm_text_proj")
+    ref.ifm_vl_text_proj = proj("ifm_vl_text_proj")
+    ref.ifm_image_proj = proj("ifm_image_proj")
+    ref.ifm_vl_image_proj = proj("ifm_vl_image_proj")
+    ref.text_relative_position_index = torch.from_numpy(
+        relpos.text_index(spec))
+    ref.relative_position_index = torch.from_numpy(relpos.image_index(spec))
+    ref.vlffn_start_layer_index = spec.vlffn_start_layer_index
+    methods = _extract_vilt_methods("infer_text", "infer_image")
+    ref.infer_text = types.MethodType(methods["infer_text"], ref)
+    ref.infer_image = types.MethodType(methods["infer_image"], ref)
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, spec.vocab_size, (2, spec.max_text_len))
+    masks = (np.arange(spec.max_text_len)[None]
+             < np.array([6, 8])[:, None]).astype(np.int64)
+    img = rng.randn(2, 3, 64, 64).astype(np.float32)
+    batch_t = {
+        "text_ids": torch.from_numpy(ids),
+        "text_labels": torch.from_numpy(np.full_like(ids, -100)),
+        "text_masks": torch.from_numpy(masks),
+        "image": [torch.from_numpy(img)],
+    }
+
+    with torch.no_grad():
+        want_t = ref.infer_text(batch_t)
+        want_i = ref.infer_image(batch_t)
+
+    jbatch = {"text_ids": jnp.asarray(ids), "text_masks": jnp.asarray(masks),
+              "image": jnp.asarray(img)}
+    got_t = model.infer_text(params, spec, jbatch)
+    got_i = model.infer_image(params, spec, jbatch)
+
+    for k in ("cls_feats", "cls_vlffn_feats", "raw_cls_feats"):
+        np.testing.assert_allclose(
+            np.asarray(got_t[k]), want_t[k].numpy(), atol=3e-5,
+            err_msg=f"{mode} text: {k}")
+        np.testing.assert_allclose(
+            np.asarray(got_i[k]), want_i[k].numpy(), atol=3e-5,
+            err_msg=f"{mode} image: {k}")
