@@ -998,3 +998,85 @@ def test_infer_text_and_image_vs_assembled_reference(mode):
         np.testing.assert_allclose(
             np.asarray(got_i[k]), want_i[k].numpy(), atol=3e-5,
             err_msg=f"{mode} image: {k}")
+
+
+def test_infer_ft_and_nlvr2_token_type_vs_assembled_reference():
+    """Fine-tune towers (no vlffn re-run, vilt_module.py:1226-1285) and the
+    NLVR2 paired-image fused passes (image_token_type_idx 1/2 over a
+    3-type embedding, objectives.py:512-520)."""
+    import jax.numpy as jnp
+    import torch.nn as nn
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+    from vl_merging_tpu.models import relpos
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", "ufo",
+        overrides=dict(hidden_size=64, num_heads=2, num_layers=3,
+                       image_size=64, patch_size=16, max_text_len=8,
+                       max_text_len_of_initckpt=16, vocab_size=99,
+                       vlffn_start_layer_index=2, precision="f32",
+                       drop_rate=0.0, tasks=None, max_vl_text_len=None,
+                       loss_names={"nlvr2": 1, "irtr": 1}))
+    spec = make_model_spec(cfg)
+    assert spec.token_type_count == 3
+    params = init_params(spec, 7)
+    ref = _assemble_reference_model(cfg, spec, params, "ufo")
+
+    def proj(name):
+        fc = nn.Linear(spec.hidden_size, spec.hidden_size, bias=False)
+        with torch.no_grad():
+            fc.weight.copy_(torch.from_numpy(
+                np.asarray(params[f"{name}.fc.weight"])))
+        return lambda x, fc=fc: fc(x)
+
+    ref.ifm_text_proj = proj("ifm_text_proj")
+    ref.ifm_image_proj = proj("ifm_image_proj")
+    ref.text_relative_position_index = torch.from_numpy(
+        relpos.text_index(spec))
+    ref.relative_position_index = torch.from_numpy(relpos.image_index(spec))
+    methods = _extract_vilt_methods("infer_text_ft", "infer_image_ft")
+    ref.infer_text_ft = types.MethodType(methods["infer_text_ft"], ref)
+    ref.infer_image_ft = types.MethodType(methods["infer_image_ft"], ref)
+
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, spec.vocab_size, (2, spec.max_text_len))
+    masks = np.ones((2, spec.max_text_len), np.int64)
+    img0 = rng.randn(2, 3, 64, 64).astype(np.float32)
+    img1 = rng.randn(2, 3, 64, 64).astype(np.float32)
+    batch_ref = {
+        "text_ids": torch.from_numpy(ids),
+        "text_labels": torch.from_numpy(np.full_like(ids, -100)),
+        "text_masks": torch.from_numpy(masks),
+        "image": [torch.from_numpy(img0)],
+        "image_0": [torch.from_numpy(img0)],
+        "image_1": [torch.from_numpy(img1)],
+    }
+    with torch.no_grad():
+        want_t = ref.infer_text_ft(batch_ref)
+        want_i = ref.infer_image_ft(batch_ref)
+        want_p1 = ref.infer(batch_ref, image_token_type_idx=1)
+        want_p2 = ref.infer(batch_ref, image_token_type_idx=2)
+
+    jbatch = {"text_ids": jnp.asarray(ids), "text_masks": jnp.asarray(masks),
+              "image": jnp.asarray(img0), "image_0": jnp.asarray(img0),
+              "image_1": jnp.asarray(img1)}
+    got_t = model.infer_text_ft(params, spec, jbatch)
+    got_i = model.infer_image_ft(params, spec, jbatch)
+    got_p1 = model.infer(params, spec, jbatch, image_token_type_idx=1)
+    got_p2 = model.infer(params, spec, jbatch, image_token_type_idx=2)
+
+    for k in ("cls_feats", "raw_cls_feats"):
+        np.testing.assert_allclose(np.asarray(got_t[k]), want_t[k].numpy(),
+                                   atol=3e-5, err_msg=f"text_ft {k}")
+        np.testing.assert_allclose(np.asarray(got_i[k]), want_i[k].numpy(),
+                                   atol=3e-5, err_msg=f"image_ft {k}")
+        np.testing.assert_allclose(np.asarray(got_p1[k]), want_p1[k].numpy(),
+                                   atol=3e-5, err_msg=f"pair1 {k}")
+        np.testing.assert_allclose(np.asarray(got_p2[k]), want_p2[k].numpy(),
+                                   atol=3e-5, err_msg=f"pair2 {k}")
+    # the two paired passes must actually differ (distinct images + types;
+    # random-init weights attenuate, so any clear nonzero gap suffices)
+    assert np.abs(np.asarray(got_p1["cls_feats"])
+                  - np.asarray(got_p2["cls_feats"])).max() > 1e-5
