@@ -192,3 +192,47 @@ def test_fit_with_grad_accumulation(root, tmp_path):
     # 8 devices × per_device 1 = 8; batch_size 16 → accum_steps 2
     main(cli_args(root, str(tmp_path / "logs"), datasets=["f30k"],
                   loss_names={"irtr": 1}, batch_size=16, max_steps=1))
+
+
+def test_msrvtt_video_irtr_recall_e2e(root, tmp_path):
+    """Video retrieval config end-to-end: frame-TSV msrvtt fixture →
+    datamodule → validate with recall (single-frame contract, reference
+    task_finetune_irtr_msrvtt_frame_*)."""
+    import base64
+    import io
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from vl_merging_tpu.data.tsv import write_tsv
+    from vl_merging_tpu.run import main
+
+    def b64(seed):
+        rng = np.random.RandomState(seed)
+        img = Image.fromarray(
+            (rng.rand(48, 48, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    vdir = str(tmp_path / "video")
+    for split in ("train", "val", "test"):
+        rows = [[f"video{i}", "{}", b64(i), b64(i + 9), b64(i + 17)]
+                for i in range(4)]
+        write_tsv(rows, os.path.join(vdir, f"msrvtt_{split}.tsv"))
+        caps = {f"video{i}": [f"a clip number {i}"] for i in range(4)}
+        with open(os.path.join(vdir, f"msrvtt_{split}.caption.json"),
+                  "w") as f:
+            json.dump(caps, f)
+
+    log_dir = str(tmp_path / "logs")
+    main(cli_args(vdir, log_dir, "task_finetune_irtr_msrvtt_frame_square_randaug_base",
+                  tokenizer=os.path.join(root, "vocab.txt"),
+                  loss_names={"irtr": 1}, get_recall_metric=True,
+                  validation_only=True))
+    metrics = os.path.join(
+        log_dir, os.listdir(log_dir)[0], "metrics.jsonl")
+    with open(metrics) as f:
+        lines = [json.loads(l) for l in f]
+    assert any("val/the_metric" in l or "val/irtr_loss" in l for l in lines)

@@ -40,9 +40,11 @@ def main(argv=None) -> None:
     trainer = Trainer(cfg, mim_label_fn=mim_label_fn)
     if cfg["validation_only"]:
         metrics = trainer.validate(dm)
+        trainer.logger.log(0, metrics)   # record standalone evals too
         print(metrics)
     elif cfg["test_only"]:
         metrics = trainer.test(dm)
+        trainer.logger.log(0, metrics)
         print(metrics)
     else:
         trainer.fit(dm)
