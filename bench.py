@@ -243,13 +243,18 @@ def main() -> None:
     # Pallas kernel.  The rel-pos bias gather stays INSIDE the jit so XLA
     # fuses it.  v5e dev chip: 557 (r1) -> ~1100 img/s at B128 (~64% of
     # the chip's measured 191 TF/s bf16 peak).
+    # Chain each dispatch on the previous output so the dev tunnel cannot
+    # elide/dedupe repeated same-input computations whose results are
+    # unfetched (CLAUDE.md "Benchmarking gotcha").  The dependency rides a
+    # tiny param leaf — prev*0 added to the (hs,) final-norm bias — so the
+    # chain costs one 3 KB add, not a full-image copy (float x*0 is not
+    # constant-folded by XLA: NaN/Inf semantics forbid it).
+    nb_key = "transformer.norm.bias"
+
     @jax.jit
-    def image_tower(p, image, prev):
-        # fold one scalar of the previous output into the input: each
-        # dispatch depends on the last, so the tunnel cannot elide/dedupe
-        # repeated same-input computations whose results are unfetched
-        # (see CLAUDE.md "Benchmarking gotcha")
-        image = image + (prev * 0).astype(image.dtype)
+    def image_tower(p, image, norm_bias):
+        p = dict(p)
+        p[nb_key] = norm_bias
         with pallas_attention(True):  # active at trace time
             return model.infer_image_ft(p, spec,
                                         {"image": image})["cls_feats"]
@@ -258,14 +263,17 @@ def main() -> None:
     image = jnp.asarray(
         rng.randn(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE).astype(np.float32))
 
-    feats = image_tower(params, image, jnp.zeros((), spec.jnp_compute_dtype))
+    def chained_bias(feats):
+        return params[nb_key] + (feats[0, 0] * 0).astype(params[nb_key].dtype)
+
+    feats = image_tower(params, image, params[nb_key])
     np.asarray(feats[:1, :1])                 # compile + warm
-    feats = image_tower(params, image, feats[0, 0])
+    feats = image_tower(params, image, chained_bias(feats))
     np.asarray(feats[:1, :1])                 # warm the chained signature
 
     t0 = time.time()
     for _ in range(ITERS):
-        feats = image_tower(params, image, feats[0, 0])
+        feats = image_tower(params, image, chained_bias(feats))
     np.asarray(feats[:1, :1])  # chained stream: final fetch syncs all
     dt = time.time() - t0
 
