@@ -36,6 +36,39 @@ def _make_batch(spec, bsz, seed=0):
     }
 
 
+def run_irtr384(name: str, overrides: dict, bsz: int = 20, iters: int = 8):
+    """COCO irtr fine-tune step (ufo @384, reference per-GPU batch 20):
+    irtr contrastive over infer_*_ft towers at N=617 — the shape regime
+    where the packed Pallas kernels win in eval."""
+    import jax
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params
+    from vl_merging_tpu.train import (
+        make_optimizer, make_schedule, make_train_step, init_train_state)
+
+    cfg = build_config(
+        "task_finetune_irtr_coco_square_randaug_base_image384", "ufo",
+        overrides=dict(dict(precision="bf16", max_steps=1000,
+                            warmup_steps=0), **overrides))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, seed=0)
+    sched = make_schedule(cfg, cfg["max_steps"])
+    opt = make_optimizer(params, cfg, cfg["max_steps"], sched)
+    state = init_train_state(params, opt, seed=0)
+    step_fn = make_train_step(cfg, spec, opt, donate=True)
+    batch = _make_batch(spec, bsz)
+
+    state, m = step_fn(state, batch)
+    np.asarray(m["total_loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step_fn(state, batch)
+    np.asarray(m["total_loss"])
+    dt = (time.time() - t0) / iters
+    print(f"{name}: {dt*1e3:.1f} ms/step  {bsz/dt:.1f} ex/s/chip")
+
+
 def run_variant(name: str, overrides: dict, bsz: int = 22, iters: int = 10):
     import jax
 
@@ -116,7 +149,11 @@ def main():
         "only_itm": {"loss_names": {"itm": 1, "ifm": 1}},
     })
     for v in variants:
-        if v[0] == "b" and v[1:].partition("_")[0].isdigit():
+        if v.startswith("irtr384"):
+            over = ({"pallas_attention": True} if v.endswith("pallas")
+                    else {})
+            run_irtr384(v, over)
+        elif v[0] == "b" and v[1:].partition("_")[0].isdigit():
             b, _, rest = v.partition("_")  # bNN[_key], e.g. b44_remat
             run_variant(v, table.get(rest, {}), bsz=int(b[1:]))
         else:
