@@ -138,6 +138,7 @@ def main():
                         "attention_logits_dtype": "bf16"},
         "remat": {"use_remat": True},
         "pallas_remat": {"pallas_attention": True, "use_remat": True},
+        "pallas_noremat": {"pallas_attention": True, "use_remat": False},
     }
     table.update({
         "bf16_remat": {"attention_logits_dtype": "bf16", "use_remat": True},
@@ -150,8 +151,11 @@ def main():
     })
     for v in variants:
         if v.startswith("irtr384"):
-            over = ({"pallas_attention": True} if v.endswith("pallas")
-                    else {})
+            over = {}
+            if "pallas" in v:
+                over["pallas_attention"] = True
+            if "noremat" in v:
+                over["use_remat"] = False
             run_irtr384(v, over)
         elif v[0] == "b" and v[1:].partition("_")[0].isdigit():
             b, _, rest = v.partition("_")  # bNN[_key], e.g. b44_remat

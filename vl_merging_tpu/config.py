@@ -148,8 +148,10 @@ def base_config() -> ConfigDict:
         precision="bf16",         # "bf16" | "f32" (reference: fp16 AMP)
         attention_logits_dtype="f32",  # "f32" (reference parity) | "bf16"
         # Pallas fast path in train/eval steps (eval CLIs/bench always use
-        # it); fwd = fused kernels, bwd recomputes via the XLA reference
-        pallas_attention=False,
+        # it).  None = auto: ON for training when image_len >= 577 (@384+,
+        # where the packed fwd + fused bwd kernels measured 1.5-1.8x,
+        # tools/train_probe.py), OFF at @224 shapes where XLA+remat wins.
+        pallas_attention=None,
         compute_memory=False,
 
         # Middle-representation extraction (gram caching)
@@ -275,6 +277,11 @@ def task_finetune_nlvr2_square_randaug_base_image384() -> ConfigDict:
         learning_rate=5e-5,
         val_transform_keys=["square_transform"],
         image_size=384,
+        # @384 the packed Pallas kernels carry training; without
+        # remat the fwd runs once (91.7 vs 108.8 ms/step on COCO
+        # irtr, tools/train_probe.py) — reference batch sizes are
+        # small enough that activations fit
+        use_remat=False,
         patch_size=16,
         vlffn_start_layer_index=10,
         use_sharded_training=False,
@@ -384,6 +391,11 @@ def task_finetune_imagenet_square_randaug_base_image384() -> ConfigDict:
         val_check_interval=1.0,
         lr_mult=10,
         image_size=384,
+        # @384 the packed Pallas kernels carry training; without
+        # remat the fwd runs once (91.7 vs 108.8 ms/step on COCO
+        # irtr, tools/train_probe.py) — reference batch sizes are
+        # small enough that activations fit
+        use_remat=False,
         patch_size=16,
         vlffn_start_layer_index=10,
         use_sharded_training=False,
@@ -436,6 +448,11 @@ def task_finetune_irtr_f30k_square_randaug_base_image384() -> ConfigDict:
         exp_name="finetune_irtr_f30k_square_randaug_base_image384",
         max_epoch=40,
         image_size=384,
+        # @384 the packed Pallas kernels carry training; without
+        # remat the fwd runs once (91.7 vs 108.8 ms/step on COCO
+        # irtr, tools/train_probe.py) — reference batch sizes are
+        # small enough that activations fit
+        use_remat=False,
         vit="vit_base_patch16_384",
     )
     return cfg
@@ -447,6 +464,11 @@ def task_finetune_irtr_f30k_square_randaug_large_image384() -> ConfigDict:
     cfg.update(
         exp_name="finetune_irtr_f30k_square_randaug_large_image384",
         image_size=384,
+        # @384 the packed Pallas kernels carry training; without
+        # remat the fwd runs once (91.7 vs 108.8 ms/step on COCO
+        # irtr, tools/train_probe.py) — reference batch sizes are
+        # small enough that activations fit
+        use_remat=False,
         vlffn_start_layer_index=21,
         vit="vit_large_patch16_384",
         hidden_size=1024,
@@ -472,6 +494,11 @@ def task_finetune_irtr_coco_square_randaug_base_image384() -> ConfigDict:
         draw_false_text=0,
         learning_rate=2e-5,
         image_size=384,
+        # @384 the packed Pallas kernels carry training; without
+        # remat the fwd runs once (91.7 vs 108.8 ms/step on COCO
+        # irtr, tools/train_probe.py) — reference batch sizes are
+        # small enough that activations fit
+        use_remat=False,
         patch_size=16,
         vlffn_start_layer_index=10,
         use_sharded_training=False,

@@ -299,6 +299,129 @@ def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
     return out
 
 
+def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, bias_ref, mask_ref, g_ref,
+                       dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float):
+    """Fused attention backward for one (head-pair, batch-block) cell.
+
+    Recomputes s/p in VMEM (like the fwd kernel) and produces dq/dk/dv
+    plus the bias gradient — none of the O(N²) tensors (p, dp, ds) ever
+    touch HBM, unlike the XLA backward which materializes each.  dbias is
+    accumulated across batch blocks via output revisiting (the TPU grid is
+    sequential; the batch axis is the fastest-varying grid dim)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(1)
+
+    valid = mask_ref[:, 0] > 0                             # bb, Np
+    for h in (0, 1):
+        sl = slice(h * 64, (h + 1) * 64)
+        q = qkv_q[:, :, sl] * jnp.asarray(scale, qkv_q.dtype)
+        k = qkv_k[:, :, sl]
+        v = qkv_v[:, :, sl]
+        g = g_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # bb, Nq, Nk
+        s = s + bias_ref[h][None]
+        s = jnp.where(valid[:, None, :], s, jnp.asarray(-jnp.inf, jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        # batch-padding rows have zero valid keys → softmax is NaN; their
+        # upstream g is zero, but NaN·0 = NaN would poison the dbias sum
+        anyvalid = jnp.any(valid, axis=-1)                 # bb
+        p = jnp.where(anyvalid[:, None, None], p, 0.0)
+
+        # dv = pᵀ g  (contract over queries)
+        dv = jax.lax.dot_general(
+            p.astype(g.dtype), g,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # bb, Nk, 64
+        # dp = g vᵀ
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # bb, Nq, Nk
+        # softmax vjp: ds = p ⊙ (dp − Σ_k dp⊙p)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = ds.astype(qkv_q.dtype)
+        # dq = ds k · scale ; dk = dsᵀ q (q pre-scaled)
+        dq = jax.lax.dot_general(
+            ds16, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds16, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = (dq * scale).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+        # bias grad: accumulate Σ_batch ds across the bb grid steps
+        db = jnp.sum(ds, axis=0)                           # Nq, Nk
+
+        @pl.when(b == 0)
+        def _init():
+            dbias_ref[h] = db
+
+        @pl.when(b != 0)
+        def _acc():
+            dbias_ref[h] += db
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                             "block_b"))
+def _pallas_packed_attention_bwd(qkv, bias, mask, g, scale: float,
+                                 num_heads: int, block_b: int = 4):
+    """Backward companion of ``_pallas_packed_attention``: returns
+    (dqkv, dbias)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Np, threeC = qkv.shape
+    C = threeC // 3
+    H2 = num_heads // 2
+    pad_b = (-B) % block_b
+    if pad_b:
+        qkv = jnp.pad(qkv, ((0, pad_b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_b), (0, 0)))
+        g = jnp.pad(g, ((0, pad_b), (0, 0), (0, 0)))
+    Bp = B + pad_b
+    mask = mask[:, None, :]
+
+    grid = (H2, Bp // block_b)
+    qkv_spec = lambda off: pl.BlockSpec(                  # noqa: E731
+        (block_b, Np, 128), lambda j, b, off=off: (b, 0, off + j),
+        memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((block_b, Np, 128), lambda j, b: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    dq_c, dk_c, dv_c, dbias = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((Bp, Np, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((Bp, Np, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((Bp, Np, C), qkv.dtype),
+                   jax.ShapeDtypeStruct((num_heads, Np, Np), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            qkv_spec(0), qkv_spec(H2), qkv_spec(2 * H2),
+            pl.BlockSpec((2, Np, Np), lambda j, b: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1, Np), lambda j, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            band_spec,                                    # g columns
+        ],
+        out_specs=(band_spec, band_spec, band_spec,
+                   pl.BlockSpec((2, Np, Np), lambda j, b: (j, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * block_b * Np * Np * 64,
+            transcendentals=2 * block_b * Np * Np,
+            bytes_accessed=(5 * block_b * Np * 128 + 4 * Np * Np) * 4),
+    )(qkv, qkv, qkv, bias, mask, g)
+    dqkv = jnp.concatenate([dq_c, dk_c, dv_c], axis=-1)
+    if pad_b:
+        dqkv = dqkv[:B]
+    return dqkv, dbias
+
+
 def _packed_reference(qkv, bias, mask, scale: float, num_heads: int):
     """XLA composition with identical math to the packed kernel (used for
     the backward pass and as the off-TPU fallback)."""
@@ -330,9 +453,15 @@ def _packed_fwd(qkv, bias, mask, scale, num_heads, block_b):
 
 
 def _packed_bwd(scale, num_heads, block_b, res, g):
-    """Backward recomputes through the XLA reference composition — the
-    Pallas forward stores only (qkv, bias), never the (N,N) probs."""
+    """Backward: fused Pallas kernel on TPU — recomputes s/p in VMEM and
+    emits dqkv + dbias without materializing any (N,N) tensor in HBM;
+    falls back to the VJP of the XLA reference composition elsewhere."""
     qkv, bias, mask = res
+    if jax.default_backend() == "tpu":
+        dqkv, dbias = _pallas_packed_attention_bwd(
+            qkv, bias.astype(jnp.float32), mask.astype(jnp.int32),
+            g.astype(qkv.dtype), scale, num_heads, block_b=block_b)
+        return dqkv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
     _, vjp = jax.vjp(
         lambda qkv_, bias_: _packed_reference(qkv_, bias_, mask, scale,
                                               num_heads),

@@ -42,6 +42,17 @@ jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
 
 
+def _resolve_pallas(cfg: Dict, spec: ModelSpec) -> bool:
+    """pallas_attention=None ⇒ auto: the packed kernels (fwd + fused bwd)
+    win TRAINING at image_len ≥ 577 (COCO irtr @384: 161.6 → 108.8 ms/step
+    with remat, 91.7 without — tools/train_probe.py) and lose at @224
+    shapes; eval CLIs always enable them explicitly."""
+    flag = cfg.get("pallas_attention", None)
+    if flag is None:
+        return spec.image_len >= 577
+    return bool(flag)
+
+
 def active_tasks(cfg: Dict) -> Tuple[str, ...]:
     """Tasks with loss weight ≥ 1 (reference vilt_utils.py:218-222)."""
     return tuple(k for k, v in cfg["loss_names"].items() if v >= 1)
@@ -147,7 +158,7 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         from ..models.mome import pallas_attention
 
-        with pallas_attention(bool(cfg.get("pallas_attention", False))):
+        with pallas_attention(_resolve_pallas(cfg, spec)):
             out = compute_losses(params, spec, cfg, batch, rng, train=True,
                                  mim_label_fn=mim_label_fn)
         return total_loss(out, dp_scale), scalar_metrics(out)
@@ -189,7 +200,7 @@ def make_eval_step(cfg: Dict, spec: ModelSpec,
     def eval_step(params, batch, rng):
         from ..models.mome import pallas_attention
 
-        with pallas_attention(bool(cfg.get("pallas_attention", False))):
+        with pallas_attention(_resolve_pallas(cfg, spec)):
             out = compute_losses(params, spec, cfg, batch, rng,
                                  train=False, mim_label_fn=mim_label_fn)
         return scalar_metrics(out)
