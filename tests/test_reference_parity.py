@@ -1080,3 +1080,49 @@ def test_infer_ft_and_nlvr2_token_type_vs_assembled_reference():
     # random-init weights attenuate, so any clear nonzero gap suffices)
     assert np.abs(np.asarray(got_p1["cls_feats"])
                   - np.asarray(got_p2["cls_feats"])).max() > 1e-5
+
+
+def test_infer_with_mim_mask_vs_assembled_reference():
+    """MIM path: visual_embed's mask-token substitution under the fused
+    pass (vision_transformer.py:967-973; vilt_module.py infer
+    mask_image=True)."""
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", "ufo",
+        overrides=dict(hidden_size=64, num_heads=2, num_layers=2,
+                       image_size=64, patch_size=16, max_text_len=8,
+                       max_text_len_of_initckpt=16, vocab_size=99,
+                       vlffn_start_layer_index=1, precision="f32",
+                       drop_rate=0.0, tasks=None, max_vl_text_len=None))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 8)
+    ref = _assemble_reference_model(cfg, spec, params, "ufo")
+
+    rng = np.random.RandomState(5)
+    ids = rng.randint(0, spec.vocab_size, (2, spec.max_text_len))
+    masks = np.ones((2, spec.max_text_len), np.int64)
+    img = rng.randn(2, 3, 64, 64).astype(np.float32)
+    masked_pos = rng.rand(2, spec.num_patches) < 0.4
+
+    with torch.no_grad():
+        want = ref.infer({
+            "text_ids": torch.from_numpy(ids),
+            "text_labels": torch.from_numpy(np.full_like(ids, -100)),
+            "text_masks": torch.from_numpy(masks),
+            "image": [torch.from_numpy(img)],
+        }, mask_image=True,
+            bool_masked_pos=torch.from_numpy(masked_pos))
+
+    got = model.infer(
+        params, spec,
+        {"text_ids": jnp.asarray(ids), "text_masks": jnp.asarray(masks),
+         "image": jnp.asarray(img)},
+        mask_image=True, bool_masked_pos=jnp.asarray(masked_pos))
+
+    for k in ("cls_feats", "image_feats"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].numpy(), atol=3e-5, err_msg=k)
