@@ -203,14 +203,22 @@ def compute_irtr_recall(
 
     ``itm_rerank_topk > 0`` additionally reranks the top-k ITC candidates
     with the ITM head (capability extension; default 0 keeps exact
-    reference parity — pure ITC cosine ranking)."""
-    txt = extract_features(params, spec, text_batches, "text")
-    img = extract_features(params, spec, image_batches, "image")
+    reference parity — pure ITC cosine ranking).
+
+    Batches may be padded past the true counts (``Trainer.recall`` pads each
+    feed to one static, mesh-divisible shape); features are sliced back to
+    ``len(tiids)`` / ``len(iids)`` rows here."""
+    n_txt, n_img = len(tiids), len(iids)
+    txt = extract_features(params, spec, text_batches, "text")[:n_txt]
+    img = extract_features(params, spec, image_batches, "image")[:n_img]
     scores = (img.astype(jnp.float32) @ txt.astype(jnp.float32).T)
     if itm_rerank_topk:
-        text_ids = jnp.concatenate([b["text_ids"] for b in text_batches])
-        text_masks = jnp.concatenate([b["text_masks"] for b in text_batches])
-        images = jnp.concatenate([b["image"] for b in image_batches])
+        text_ids = jnp.concatenate(
+            [b["text_ids"] for b in text_batches])[:n_txt]
+        text_masks = jnp.concatenate(
+            [b["text_masks"] for b in text_batches])[:n_txt]
+        images = jnp.concatenate(
+            [b["image"] for b in image_batches])[:n_img]
         tr_scores = itm_rerank_scores(
             params, spec, text_ids, text_masks, images, scores,
             itm_rerank_topk, axis=1)

@@ -36,6 +36,31 @@ ARRAY_KEYS_EXCLUDED = ("text", "qid", "vqa_labels", "vqa_scores",
                        "cap_index", "raw_index", "replica")
 
 
+def pad_to_multiple(batch: Dict, size: int):
+    """Pad every batch-leading array up to ``size`` rows by repeating the
+    final row; returns ``(padded_batch, n_valid)``.
+
+    Used by the eval loops so every feed has one static shape (one compile)
+    and is divisible by the mesh device count (shardable).  Repeating a real
+    row — instead of zero-filling — keeps the padded rows numerically
+    ordinary (an all-zero text_mask row would softmax over -inf).  Callers
+    slice outputs back to ``n_valid``.
+    """
+    n = next(v.shape[0] for v in batch.values()
+             if isinstance(v, np.ndarray) and v.ndim >= 1)
+    if size <= n:
+        return batch, n
+    out = {}
+    for k, v in batch.items():
+        if (isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n
+                and v.dtype != object):
+            out[k] = np.concatenate(
+                [v, np.repeat(v[-1:], size - n, axis=0)], axis=0)
+        else:
+            out[k] = v
+    return out, n
+
+
 def device_feed(batch: Dict, mesh=None) -> Dict:
     """Numeric arrays → (sharded) device arrays; python payloads dropped.
 
@@ -252,11 +277,27 @@ class Trainer:
 
         computed = acc.compute()
         recall = None
+        out = {}
         if cfg["get_recall_metric"]:
+            # reference computes recall on BOTH splits: val first (logged as
+            # recalls/val_avg), then test — the_metric uses the TEST-split
+            # r1s (vilt_utils.py:66-79, 101)
+            try:
+                val_recall = self.recall(datamodule, split="val")
+            except FileNotFoundError:
+                val_recall = {}
+            if val_recall:
+                out["recalls/val_avg"] = float(
+                    np.mean([val_recall[f"{d}_r{k}"]
+                             for d in ("ir", "tr") for k in (1, 5, 10)]))
             recall = self.recall(datamodule, split="test")
+            out["recalls/test_avg"] = float(
+                np.mean([recall[f"{d}_r{k}"]
+                         for d in ("ir", "tr") for k in (1, 5, 10)]))
             computed.update(recall)
         tm = the_metric(cfg["loss_names"], computed, recall)
-        out = {f"val/{k}": v for k, v in computed.items() if v is not None}
+        out.update({f"val/{k}": v for k, v in computed.items()
+                    if v is not None})
         out["val/the_metric"] = tm
         return out
 
@@ -276,6 +317,12 @@ class Trainer:
 
     # -- retrieval recall ----------------------------------------------------
     def recall(self, datamodule, split: str = "test") -> Dict[str, float]:
+        """Tower extraction SHARDED over the mesh's data axis: each batch is
+        padded to one static, device-divisible shape and fed with
+        ``device_feed(b, self.mesh)``, so all chips split the forward work;
+        ``compute_irtr_recall`` slices features back to the true counts.
+        (reference runs extraction redundantly per rank,
+        objectives.py:572-710; SURVEY §7.5 calls for data-axis sharding.)"""
         dm = datamodule.dms[0]
         make = (dm.make_no_false_val_dset if split == "val"
                 else dm.make_no_false_test_dset)
@@ -283,21 +330,23 @@ class Trainer:
         image_dset = make(image_only=True)
         params = self.state.params if hasattr(self, "state") else self.params
 
-        text_batches, tiids = [], []
-        bs = 256
-        for start in range(0, len(text_dset), bs):
-            idx = range(start, min(start + bs, len(text_dset)))
-            samples = [text_dset[i] for i in idx]
-            b = text_dset.collate(samples, dm.mlm_collator)
-            text_batches.append(device_feed(b))
-            tiids += list(b["img_index"])
-        image_batches, iids = [], []
-        for start in range(0, len(image_dset), bs):
-            idx = range(start, min(start + bs, len(image_dset)))
-            samples = [image_dset[i] for i in idx]
-            b = image_dset.collate(samples, dm.mlm_collator)
-            image_batches.append(device_feed(b))
-            iids += list(b["img_index"])
+        ndev = self.mesh.devices.size
+
+        def collect(dset):
+            # one static, device-divisible batch shape per tower
+            bs = min(max(256 // ndev * ndev, ndev),
+                     -(-len(dset) // ndev) * ndev)
+            batches, ids = [], []
+            for start in range(0, len(dset), bs):
+                idx = range(start, min(start + bs, len(dset)))
+                b = dset.collate([dset[i] for i in idx], dm.mlm_collator)
+                ids += list(b["img_index"])
+                b, _ = pad_to_multiple(b, bs)  # one shape → one compile
+                batches.append(device_feed(b, self.mesh))
+            return batches, ids
+
+        text_batches, tiids = collect(text_dset)
+        image_batches, iids = collect(image_dset)
 
         out = compute_irtr_recall(
             params, self.spec, text_batches, image_batches,
@@ -314,9 +363,12 @@ class Trainer:
             loader = datamodule.test_loader(self.local_batch)
             id2answer = getattr(datamodule.dms[0], "id2answer", None)
             batches = []
+            ndev = self.mesh.devices.size
             for batch in loader:
-                feed = device_feed(batch)
-                feed["qid"] = batch["qid"]
+                padded, n_valid = pad_to_multiple(
+                    batch, -(-len(batch["qid"]) // ndev) * ndev)
+                feed = device_feed(padded, self.mesh)
+                feed["qid"] = batch["qid"][:n_valid]  # unpadded → preds slice
                 batches.append(feed)
             if id2answer is not None:
                 rets = vqa_predictions(params, self.spec, batches, id2answer)
