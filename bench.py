@@ -69,13 +69,7 @@ def _make_jpegs(n, seed=0):
     return out
 
 
-def _decode_resize_u8_batch(jpegs, size):
-    """(n, S, S, 3) uint8 via the native C++ decoder when available
-    (PIL-exact bicubic), else PIL."""
-    from vl_merging_tpu import runtime
-
-    if runtime.available():
-        return runtime.decode_resize_batch_u8(jpegs, size)
+def _pil_decode_resize(jpegs, size):
     from PIL import Image
 
     out = []
@@ -86,14 +80,61 @@ def _decode_resize_u8_batch(jpegs, size):
     return np.stack(out)
 
 
-def run_e2e(params, spec, model, pallas_attention, jax, jnp):
-    """Full pipeline at reduced scale; returns images/sec (image count,
-    like the reference, even though texts are also embedded)."""
+_DECODE_IMPL = None
+
+
+def _decode_resize_u8_batch(jpegs, size):
+    """(n, S, S, 3) uint8; the native C++ decoder and PIL produce identical
+    bytes (PIL-exact bicubic, tests/test_runtime.py), so pick whichever is
+    FASTER on this host — measured once on the first call (PIL's SIMD
+    resize beats the scalar native bicubic on some hosts)."""
+    global _DECODE_IMPL
+    from vl_merging_tpu import runtime
+
+    if not runtime.available():
+        return _pil_decode_resize(jpegs, size)
+    if _DECODE_IMPL is None:
+        probe = jpegs[: min(8, len(jpegs))]
+        t0 = time.time()
+        runtime.decode_resize_batch_u8(probe, size)
+        t_native = time.time() - t0
+        t0 = time.time()
+        _pil_decode_resize(probe, size)
+        t_pil = time.time() - t0
+        _DECODE_IMPL = (runtime.decode_resize_batch_u8
+                        if t_native <= t_pil else _pil_decode_resize)
+    return _DECODE_IMPL(jpegs, size)
+
+
+def _measure_link_mbps(jax):
+    """Host→device bandwidth with an INCOMPRESSIBLE payload + 1-elt fetch.
+
+    The dev-box tunnel's throughput varies run to run (measured 8–80 MB/s);
+    the e2e metric is link-bound here, so the in-run bandwidth is printed
+    alongside it to make every recorded number self-explaining.  The
+    payload uses the e2e feed's exact (B, S, S, 3) uint8 shape — a flat
+    1-D array of the same bytes takes ~100× longer over the tunnel
+    (pathological transfer path), which would misreport the link."""
+    probe = np.random.RandomState(9).randint(
+        0, 256, (32, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)
+    t0 = time.time()
+    buf = jax.device_put(probe)
+    np.asarray(buf[0, 0, 0, 0])  # forces transfer completion
+    return probe.nbytes / 1e6 / (time.time() - t0)
+
+
+def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
+    """Full pipeline at reduced scale; returns (images/sec, phases dict).
+
+    Phase wall-times (one pipeline-drain sync per boundary, ~0.13 s RTT
+    each) let a reader attribute the total: ``image_phase_s`` covers
+    jpeg-decode ∥ uint8 feed ∥ image tower; ``decode_cpu_s`` is the decode
+    thread's CPU time inside it."""
     from vl_merging_tpu.evaluation.retrieval import _topk_ids
 
-    jpegs = _make_jpegs(E2E_IMAGES)
+    jpegs = _make_jpegs(E2E_IMAGES, seed=seed)
     n_txt = E2E_IMAGES * E2E_CAPS_PER_IMAGE
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(seed + 1)
     text_ids = rng.randint(0, spec.vocab_size, (n_txt, spec.max_text_len))
     text_masks = np.ones((n_txt, spec.max_text_len), np.int64)
     tiids = np.repeat(np.arange(E2E_IMAGES), E2E_CAPS_PER_IMAGE)
@@ -129,13 +170,17 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp):
     import threading
 
     decoded: "queue.Queue" = queue.Queue(maxsize=2)
+    decode_cpu = [0.0]
 
     def producer():
         for s in range(0, E2E_IMAGES, E2E_BATCH):
-            decoded.put(_decode_resize_u8_batch(jpegs[s:s + E2E_BATCH],
-                                                IMAGE_SIZE))
+            td = time.time()
+            u8 = _decode_resize_u8_batch(jpegs[s:s + E2E_BATCH], IMAGE_SIZE)
+            decode_cpu[0] += time.time() - td
+            decoded.put(u8)
         decoded.put(None)
 
+    phases = {}
     t0 = time.time()
     threading.Thread(target=producer, daemon=True).start()
     img_feats = []
@@ -144,17 +189,29 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp):
         if u8 is None:
             break
         img_feats.append(image_tower_u8(params, jnp.asarray(u8)))
+    img = jnp.concatenate(img_feats).astype(jnp.float32)
+    np.asarray(img[:1, :1])  # drain: decode ∥ feed ∥ tower all complete
+    phases["image_phase_s"] = round(time.time() - t0, 2)
+    phases["decode_cpu_s"] = round(decode_cpu[0], 2)
+
+    t1 = time.time()
     txt_feats = []
     for s in range(0, n_txt, 256):
         txt_feats.append(text_tower(params,
                                     jnp.asarray(text_ids[s:s + 256]),
                                     jnp.asarray(text_masks[s:s + 256])))
-    img = jnp.concatenate(img_feats).astype(jnp.float32)
     txt = jnp.concatenate(txt_feats).astype(jnp.float32)
+    np.asarray(txt[:1, :1])
+    phases["text_phase_s"] = round(time.time() - t1, 2)
+
+    t2 = time.time()
     scores = img @ txt.T
     recalls = _topk_ids(scores, jnp.asarray(iids), jnp.asarray(tiids))
     float(recalls["tr_r1"])  # sync
-    return E2E_IMAGES / (time.time() - t0)
+    phases["score_topk_s"] = round(time.time() - t2, 2)
+    total = time.time() - t0
+    phases["total_s"] = round(total, 2)
+    return E2E_IMAGES / total, phases
 
 
 def run_train(jax, jnp) -> float:
@@ -215,14 +272,28 @@ def main() -> None:
     spec = make_model_spec(cfg)
     params = init_params(spec, seed=0)
 
-    e2e = run_e2e(params, spec, model, pallas_attention, jax, jnp)
+    link_mbps = _measure_link_mbps(jax)
+    # two runs with FRESH jpegs each (identical repeated payloads can be
+    # deduped by the dev tunnel, inflating run 2); value = second run
+    # (steady state: TCP ramp + buffer-pool allocation amortized)
+    e2e_first, phases_first = run_e2e(params, spec, model, pallas_attention,
+                                      jax, jnp, seed=0)
+    if E2E_IMAGES <= 512:
+        e2e, phases = run_e2e(params, spec, model, pallas_attention,
+                              jax, jnp, seed=7)
+    else:
+        e2e, phases = e2e_first, phases_first
     print(json.dumps({
         "metric": "coco_itr_eval_e2e_images_per_sec",
         "value": round(e2e, 2),
         "unit": ("images/sec e2e (jpeg decode + resize + uint8 feed + both "
-                 "towers + score matrix + topk; host-link-bound on this "
-                 "dev box)"),
+                 "towers + score matrix + topk; LINK-BOUND on this dev box "
+                 "— see host_to_device_mbps, measured 8-40 MB/s run to "
+                 "run; a real v5e host feeds over PCIe at GB/s)"),
         "vs_baseline": round(e2e / BASELINE_A100_IMG_PER_S, 3),
+        "host_to_device_mbps": round(link_mbps, 1),
+        "first_run_images_per_sec": round(e2e_first, 2),
+        "phases": phases,
     }))
 
     train_ex = run_train(jax, jnp)

@@ -324,3 +324,41 @@ def test_tsv_composite_plain_with_linelist(tmp_path):
     assert len(ds) == 6
     assert ds[3]["image"].shape == (3, 32, 32)
     assert ds._caption(1, 1) == "two 1"
+
+
+def test_didemo_dataset(tmp_path):
+    """DiDeMo port (reference didemo_dataset.py:6-40): shared img_didemo.tsv
+    for every split, txt_didemo-retrieval.json caption lists flattened
+    one-per-caption, and "@"-suffixed video ids parsed to ints for
+    retrieval grouping (get_video_id parity)."""
+    import base64
+    import json as _json
+
+    from fixtures import _jpeg_bytes
+    from vl_merging_tpu.data.datasets import dataset_class
+    from vl_merging_tpu.data.tsv import write_tsv
+
+    rng = np.random.RandomState(0)
+    root = str(tmp_path)
+    rows = []
+    anns = []
+    for i in range(3):
+        vid = f"{100 + i}@flickr"
+        b64 = base64.b64encode(_jpeg_bytes(rng, 48)).decode()
+        rows.append([vid, "{}", b64, b64])
+        anns.append({"video": vid,
+                     "caption": [f"moment {i} a", f"moment {i} b"]})
+    write_tsv(rows, os.path.join(root, "img_didemo.tsv"))
+    with open(os.path.join(root, "txt_didemo-retrieval.json"), "w") as f:
+        _json.dump(anns, f)
+
+    cls = dataset_class("didemo")
+    for split in ("train", "test"):
+        ds = cls(root, transform_keys=["square_transform"], image_size=32,
+                 split=split)
+        assert len(ds) == 6  # 3 videos × 2 captions, flattened
+        s = ds[1]
+        assert s["image"].shape == (3, 32, 32)
+        assert s["img_index"] == 100  # int("100@flickr".split("@")[0])
+        assert ds[2]["img_index"] == 101
+        assert s["cap_index"] == 1

@@ -278,10 +278,13 @@ _DATASETS = {
 
 
 def _register_video():
-    from .video import MSRVTTDataset, WebVidDataset
+    from .video import DidemoDataset, MSRVTTDataset, WebVidDataset
 
     _DATASETS["msrvtt"] = MSRVTTDataset
     _DATASETS["webvid"] = WebVidDataset
+    # no reference registry entry (didemo_dataset.py is vestigial there);
+    # registered here so the port is reachable
+    _DATASETS["didemo"] = DidemoDataset
 
 
 def _register_tsv_composites():

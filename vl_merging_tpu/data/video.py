@@ -50,6 +50,20 @@ class FrameTSVDataset:
         self.split = split
         self.size_frame = size_frame
 
+        self.captions = self._load_captions(data_dir, names)
+
+        # caption-flattened index like the arrow datasets' index_mapper
+        self.index_mapper: Dict[int, tuple] = {}
+        j = 0
+        for row_idx in range(len(self.tsv)):
+            vid = self.tsv[row_idx][0]
+            caps = self.captions.get(vid, [None])
+            for ci in range(len(caps)):
+                self.index_mapper[j] = (row_idx, ci)
+                j += 1
+
+    def _load_captions(self, data_dir: str,
+                       names: List[str]) -> Dict[str, List[str]]:
         captions: Dict[str, List[str]] = {}
         for n in names:
             cpath = op.join(data_dir, f"{n}.caption.json")
@@ -65,17 +79,11 @@ class FrameTSVDataset:
                 for item in data:
                     captions.setdefault(item["video_id"], []).append(
                         item["caption"])
-        self.captions = captions
+        return captions
 
-        # caption-flattened index like the arrow datasets' index_mapper
-        self.index_mapper: Dict[int, tuple] = {}
-        j = 0
-        for row_idx in range(len(self.tsv)):
-            vid = self.tsv[row_idx][0]
-            caps = captions.get(vid, [None])
-            for ci in range(len(caps)):
-                self.index_mapper[j] = (row_idx, ci)
-                j += 1
+    def _img_index(self, row_idx: int, vid: str) -> int:
+        """Retrieval-grouping id for a row; subclasses may parse ``vid``."""
+        return row_idx
 
     def __len__(self) -> int:
         return len(self.index_mapper)
@@ -132,7 +140,7 @@ class FrameTSVDataset:
             image = _np.stack(frames, axis=0)
         ret: Dict = {
             "image": image,
-            "img_index": row_idx,
+            "img_index": self._img_index(row_idx, row[0]),
             "cap_index": cap_idx,
             "raw_index": index,
         }
@@ -181,3 +189,31 @@ class WebVidDataset(MSRVTTDataset):
     def __init__(self, *args, split: str = "train", **kwargs):
         kwargs["names"] = [f"webvid_{split}"]
         super().__init__(*args, split=split, **kwargs)
+
+
+class DidemoDataset(MSRVTTDataset):
+    """DiDeMo retrieval (reference didemo_dataset.py:6-40, vestigial — no
+    registry entry in the reference): ONE shared frame TSV
+    (``img_didemo.tsv``) serves every split; captions come from
+    ``txt_didemo-retrieval.json`` as ``[{"video", "caption": [..]}]`` and
+    are flattened one-per-caption (didemo_dataset.py:19-27); video ids
+    carry an ``@``-suffix that is stripped to an int for retrieval
+    grouping (``get_video_id``, didemo_dataset.py:36-40)."""
+
+    def __init__(self, *args, split: str = "train", **kwargs):
+        kwargs["names"] = ["img_didemo"]
+        super().__init__(*args, split=split, **kwargs)
+
+    def _load_captions(self, data_dir, names):
+        cpath = op.join(data_dir, "txt_didemo-retrieval.json")
+        captions: Dict[str, List[str]] = {}
+        if op.isfile(cpath):
+            with open(cpath) as f:
+                for item in json.load(f):
+                    caps = item["caption"]
+                    captions.setdefault(item["video"], []).extend(
+                        caps if isinstance(caps, list) else [caps])
+        return captions
+
+    def _img_index(self, row_idx: int, vid: str) -> int:
+        return int(vid.split("@")[0])

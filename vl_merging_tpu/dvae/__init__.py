@@ -5,3 +5,6 @@ from .encoder import (  # noqa: F401
 from .decoder import (  # noqa: F401
     decoder_output, decode_indices, load_decoder_params, unmap_pixels,
 )
+from .discrete import (  # noqa: F401
+    DiscreteVAEConfig, init_discrete_vae_params,
+)
