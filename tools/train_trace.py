@@ -116,6 +116,9 @@ def ablate():
     step = make_train_step(cfg, spec, opt, donate=True)
     results["full"] = _time_step(step, state, batch)
     print(f"full {results['full']:.1f}", flush=True)
+    import gc
+    del step, state, opt
+    gc.collect()
 
     # forward only (same remat/pallas config; remat only affects bwd).
     # params/batch MUST be jit arguments — closing over them would embed
@@ -140,7 +143,11 @@ def ablate():
         p[NB_KEY] = p[NB_KEY] + carry * 0
         loss, grads = jax.value_and_grad(
             lambda q: loss_fn(q, b, jax.random.PRNGKey(0)))(p)
-        return loss + grads[NB_KEY].sum()
+        # consume EVERY grad leaf — returning just one would let XLA
+        # dead-code-eliminate the other params' dW matmuls (≈half the
+        # backward FLOPs) and fake the number
+        import optax
+        return loss + optax.global_norm(grads)
 
     results["fwd_bwd"] = _time_chained(
         lambda c: fwd_bwd(p0, batch, c), jnp.zeros((), jnp.float32))
@@ -164,11 +171,18 @@ def ablate():
     results["opt_only"] = (time.time() - t0) / ITERS * 1e3
     print(f"opt_only {results['opt_only']:.1f}", flush=True)
 
+    # free the fwd/opt probes' device state before the next full variants
+    import gc
+    del p0, params, opt_state, grads0, state2, opt2
+    gc.collect()
+
     # no remat
     cfg3, spec3, opt3, state3 = _setup({"use_remat": False})
     step3 = make_train_step(cfg3, spec3, opt3, donate=True)
     results["no_remat"] = _time_step(step3, state3, _batch(spec3))
     print(f"no_remat {results['no_remat']:.1f}", flush=True)
+    del step3, state3, opt3
+    gc.collect()
 
     # single-objective steps
     for name, ln in (("mlm_only", {"mlm": 1}),
@@ -178,6 +192,8 @@ def ablate():
         stepx = make_train_step(cfgx, specx, optx, donate=True)
         results[name] = _time_step(stepx, statex, _batch(specx))
         print(f"{name} {results[name]:.1f}", flush=True)
+        del stepx, statex, optx
+        gc.collect()
 
     print(f"{'variant':12s} {'ms/step':>8s}")
     for k, v in results.items():
