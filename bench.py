@@ -40,9 +40,9 @@ BASELINE_A100_IMG_PER_S = 180.0
 # published step time exists (BASELINE.md); this is our estimate.
 BASELINE_A100_TRAIN_EX_PER_S = 80.0
 
-BATCH = 128
-ITERS = 8
-IMAGE_SIZE = 384
+BATCH = 384      # larger per-dispatch batch amortizes per-pass constants
+ITERS = 6        # (bias gather ~4 ms, dispatch ~7 ms on the tunnel):
+IMAGE_SIZE = 384  # B128→B384 measured 1150→1200 img/s (eval_attrib2_probe)
 
 TRAIN_BATCH = 22          # the reference's per-GPU batch (README.md:81-103)
 TRAIN_ITERS = 10
@@ -271,6 +271,15 @@ def main() -> None:
         overrides={"precision": "bf16"})
     spec = make_model_spec(cfg)
     params = init_params(spec, seed=0)
+    # one-time bf16 pre-cast of matmul weights — bit-identical to feeding
+    # f32 masters (weights are cast per-use anyway), halves weight reads
+    from vl_merging_tpu.train.loop import eval_cast_params
+    params = eval_cast_params(params, spec, cfg)
+    # drain the ~300 queued cast ops before timing the link probe — a
+    # fetch is the only real sync on the tunnel (CLAUDE.md); without it
+    # the probe's device_put timing absorbs the cast flush and reports
+    # ~0 MB/s
+    np.asarray(jax.tree_util.tree_leaves(params)[-1].ravel()[0])
 
     link_mbps = _measure_link_mbps(jax)
     # two runs with FRESH jpegs each (identical repeated payloads can be
@@ -312,8 +321,9 @@ def main() -> None:
     # block LN+qkv -> packed attention (no (B,N,3,H,d) transpose) ->
     # proj+LayerScale+residual -> LN+MLP+LayerScale+residual, each one
     # Pallas kernel.  The rel-pos bias gather stays INSIDE the jit so XLA
-    # fuses it.  v5e dev chip: 557 (r1) -> ~1100 img/s at B128 (~64% of
-    # the chip's measured 191 TF/s bf16 peak).
+    # fuses it.  v5e dev chip: 557 (r1) -> 1146 at B128 (r2) -> ~1200
+    # img/s at B384 + weight pre-cast (r3; residual vs the ~1300 roofline
+    # is attributed phase-by-phase in STATUS.md "Perf").
     # Chain each dispatch on the previous output so the dev tunnel cannot
     # elide/dedupe repeated same-input computations whose results are
     # unfetched (CLAUDE.md "Benchmarking gotcha").  The dependency rides a
@@ -331,8 +341,11 @@ def main() -> None:
                                         {"image": image})["cls_feats"]
 
     rng = np.random.RandomState(0)
+    # bf16 feed is numerically identical: visual_embed casts the image to
+    # the bf16 compute dtype first thing anyway; halves image HBM reads
     image = jnp.asarray(
-        rng.randn(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE).astype(np.float32))
+        rng.randn(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)
+        .astype(np.float32)).astype(jnp.bfloat16)
 
     def chained_bias(feats):
         return params[nb_key] + (feats[0, 0] * 0).astype(params[nb_key].dtype)

@@ -243,7 +243,13 @@ def test_multi_device_step_equals_single_device():
     batch must produce (all)close updated params on mesh(8), mesh(4×2 fsdp),
     and mesh(1) — sharded execution only reorders float reductions
     (VERDICT r1 weak #3; reference objectives.py:264-314 semantics)."""
-    cfg = tiny_cfg("ufo", warmup_steps=0, learning_rate=5e-3)
+    # threefry pinned: its bits are identical under any XLA sharding, so
+    # dropout/drop-path masks match across meshes.  The production default
+    # (unsafe_rbg, hardware RngBitGenerator) is layout-dependent by design
+    # — draws differ between meshes (fine for training noise), which would
+    # turn this exact-math comparison into a dropout-pattern diff.
+    cfg = tiny_cfg("ufo", warmup_steps=0, learning_rate=5e-3,
+                   train_rng_impl="threefry")
     spec = make_model_spec(cfg)
     batch_np = make_batch(spec, bsz=16, seed=3)
 
@@ -264,7 +270,8 @@ def test_multi_device_step_equals_single_device():
     p1, l1 = run(parallel.make_mesh(num_devices=1))
     p8, l8 = run(parallel.make_mesh())                      # data=8
     cfg_fsdp = tiny_cfg("ufo", warmup_steps=0, learning_rate=5e-3,
-                        use_sharded_training=True)
+                        use_sharded_training=True,
+                        train_rng_impl="threefry")
     pf, lf = run(parallel.make_mesh(fsdp=2), cfg_fsdp)      # data=4 × fsdp=2
 
     assert abs(l1 - l8) < 1e-4 * max(1.0, abs(l1)), (l1, l8)
@@ -327,3 +334,51 @@ def test_initialize_multihost_wires_jax_distributed(monkeypatch):
     calls.clear()
     assert mesh_mod.initialize_multihost({}) is False
     assert calls == []
+
+
+def test_train_rng_impl_escape_hatch():
+    """Default unsafe_rbg (TPU hardware RngBitGenerator) and the threefry
+    escape both train: finite loss, params move, runs deterministic."""
+    for impl in ("unsafe_rbg", "threefry"):
+        cfg = tiny_cfg(loss_names={"mlm": 1}, warmup_steps=0,
+                       train_rng_impl=impl)
+        spec = make_model_spec(cfg)
+        params = init_params(spec, 0)
+        opt = make_optimizer(params, cfg, 10, make_schedule(cfg, 10))
+        batch = make_batch(spec, bsz=4)
+        outs = []
+        for _ in range(2):
+            state = init_train_state(params, opt, seed=1)
+            step = make_train_step(cfg, spec, opt, donate=False)
+            state, m = step(state, batch)
+            outs.append(float(m["total_loss"]))
+        assert np.isfinite(outs[0]) and outs[0] == outs[1], (impl, outs)
+
+
+def test_eval_cast_params_bit_identical():
+    """eval_cast_params halves matmul-weight bytes without changing a bit
+    of the bf16 eval output (weights are cast per-use anyway); bias
+    tables / text-embedding tables / 1-D leaves stay f32."""
+    from vl_merging_tpu.models import model
+    from vl_merging_tpu.train.loop import eval_cast_params
+
+    cfg = tiny_cfg(precision="bf16")
+    spec = make_model_spec(cfg)
+    params = init_params(spec, 0)
+    cast = eval_cast_params(params, spec, cfg)
+
+    assert cast["relative_position_bias_table"].dtype == jnp.float32
+    assert cast["text_embeddings.word_embeddings.weight"].dtype == jnp.float32
+    n_bf16 = sum(1 for k, v in cast.items() if v.dtype == jnp.bfloat16)
+    assert n_bf16 > 4  # the matmul weights actually moved
+
+    batch = make_batch(spec, bsz=2)
+    a = model.infer(params, spec, batch)["cls_feats"]
+    b = model.infer(cast, spec, batch)["cls_feats"]
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))
+
+    # f32 compute dtype: cast must be a no-op
+    cfg32 = tiny_cfg(precision="f32")
+    spec32 = make_model_spec(cfg32)
+    assert eval_cast_params(params, spec32, cfg32) is params

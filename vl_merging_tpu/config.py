@@ -146,12 +146,31 @@ def base_config() -> ConfigDict:
         load_path="",
         num_workers=8,
         precision="bf16",         # "bf16" | "f32" (reference: fp16 AMP)
-        attention_logits_dtype="f32",  # "f32" (reference parity) | "bf16"
+        # "f32" (reference parity) | "bf16" (+14% eval throughput).  WARNING:
+        # bf16 logits measurably flip retrieval top-k ranks when score gaps
+        # are tight (tools/bf16_logits_probe.py @384: score max|Δ| 1.2e-3,
+        # top-1 set mismatches on 5.7% of images / 24.6% of texts at
+        # random weights, where the bf16-PARAMS pre-cast shows zero) — do
+        # not use for reported R@k numbers.
+        attention_logits_dtype="f32",
         # Pallas fast path in train/eval steps (eval CLIs/bench always use
         # it).  None = auto: ON for training when image_len >= 577 (@384+,
         # where the packed fwd + fused bwd kernels measured 1.5-1.8x,
         # tools/train_probe.py), OFF at @224 shapes where XLA+remat wins.
         pallas_attention=None,
+        # PRNG impl for the training step's dropout/drop-path keys.
+        # "unsafe_rbg" uses the TPU hardware RngBitGenerator — the ~190
+        # tiny per-block threefry ops (drop-path splits + bernoullis)
+        # measured 18.3 ms/step of pure VPU serialization at @224 B22
+        # (tools/fwd224b_probe.py), paid again in the remat backward.
+        # Dropout patterns carry no reference-parity contract (torch's
+        # RNG differs anyway); "threefry" restores the JAX default.
+        train_rng_impl="unsafe_rbg",
+        # Pre-cast 2-D+ matmul weights to bf16 for eval sweeps (recall /
+        # VQA test).  Bit-identical to feeding f32 masters when
+        # precision="bf16" (every such weight is cast per-use anyway);
+        # halves weight HBM reads.  See Trainer._eval_cast.
+        eval_params_bf16=True,
         compute_memory=False,
 
         # Middle-representation extraction (gram caching)

@@ -58,10 +58,15 @@ def dropout(x: jax.Array, rate: float, rng: Optional[jax.Array],
 def drop_path(x: jax.Array, rate: float, rng: Optional[jax.Array],
               train: bool) -> jax.Array:
     """Stochastic depth: drop the whole residual branch per sample
-    (timm DropPath semantics, scaled by keep prob)."""
+    (timm DropPath semantics, scaled by keep prob).
+
+    The mask math happens on the tiny (B, 1, 1) side — one broadcast
+    multiply touches the branch.  The earlier ``where(mask, x/keep, 0)``
+    form cost ~15 ms/step of unfused (B, N, C) HBM passes across the 24
+    applications per forward at @224 B22 (tools/fwd224c_probe.py)."""
     if not train or rate <= 0.0 or rng is None:
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    return x * (mask.astype(x.dtype) / keep)

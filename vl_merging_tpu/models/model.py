@@ -107,6 +107,26 @@ def _drop_path_rates(spec: ModelSpec):
             for i in range(spec.num_layers)]
 
 
+def _dp_scale_table(spec: ModelSpec, rng: Optional[jax.Array], train: bool,
+                    batch: int) -> Optional[jax.Array]:
+    """All of a pass's stochastic-depth scales in ONE rng op.
+
+    Per-block `drop_path` cost ~15 ms/step at @224 B22 — not the hashing
+    (unsafe_rbg saved ~1 ms) but the ~180 tiny per-block split/bernoulli
+    ops' fixed overhead (tools/fwd224c_probe.py).  One uniform draw of
+    shape (L, 2, B) with per-layer keep probs replaces them; blocks get a
+    precomputed (2, B) scale slice.  Layer 0's rate is 0 → keep 1 →
+    u < 1.0 always → scale exactly 1.  Semantics are timm DropPath
+    (mask/keep per sample); the draws land outside the remat boundary,
+    so the backward replays no RNG at all."""
+    if not train or rng is None or spec.drop_rate <= 0.0:
+        return None
+    keep = 1.0 - np.asarray(_drop_path_rates(spec), np.float32)
+    u = jax.random.uniform(rng, (spec.num_layers, 2, batch))
+    return (u < keep[:, None, None]).astype(jnp.float32) \
+        / keep[:, None, None]
+
+
 def precompute_bias(params: Params, spec: ModelSpec, kind: str,
                     true_length: Optional[int] = None,
                     pad_to: Optional[int] = None,
@@ -160,23 +180,28 @@ def _seq_pad(spec: ModelSpec, n: int) -> int:
 
 
 def _block_apply(params, spec, b, x, mask, bias_i, type_id, dp_rate, rng,
-                 train, text_len=None):
+                 train, text_len=None, dp_scale=None):
     """One block step; under use_remat the block rematerializes in the
     backward pass (jax.checkpoint) instead of saving activations."""
-    def f(params, x, mask, bias_i, rng):
+    def f(params, x, mask, bias_i, rng, dp_scale):
         return block_forward(params, spec, b, x, mask, bias_i, type_id,
                              drop_path_rate=dp_rate, rng=rng, train=train,
-                             text_len=text_len)[0]
+                             text_len=text_len, dp_scale=dp_scale)[0]
     if spec.remat and train:
         # surgical remat: save un-batched matmul outputs (qkv / proj / mlp
         # projections), recompute the batched attention einsums — i.e. the
         # O(B·H·N²) f32 logits/probs that OOM HBM at per-chip batches ≥66
         # never persist to the backward pass.  Full-block remat measured
         # ~50% slower; save-everything-except-names ballooned residuals.
+        # prevent_cse=False: under jit the CSE-prevention barriers only
+        # serialize XLA's schedule of the backward replay — dropping them
+        # measured 187.0 -> 160.4 ms/step at @224 B22 pretrain
+        # (tools/remat_matrix_probe.py); numerics are unaffected (CSE can
+        # only share, not change, the recomputation).
         f = jax.checkpoint(
-            f,
+            f, prevent_cse=False,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    return f(params, x, mask, bias_i, rng)
+    return f(params, x, mask, bias_i, rng, dp_scale)
 
 # --------------------------------------------------------------------------
 # Inference paths
@@ -203,6 +228,7 @@ def infer(
         image = batch[imgkey] if imgkey in batch else batch["image"]
 
     rngs = _layer_rngs(rng, spec.num_layers + 2)
+    dp = _dp_scale_table(spec, rngs[-2], train, text_ids.shape[0])
     t_emb = text_embed(params, spec, text_ids, train=train, rng=rngs[-1])
     i_emb, image_masks = visual_embed(params, spec, image,
                                       bool_masked_pos=bool_masked_pos)
@@ -248,7 +274,8 @@ def infer(
 
     for i, b in enumerate(spec.blocks):
         x = _block_apply(params, spec, b, x, co_masks, bias[i], VL,
-                         dprates[i], rngs[i], train, text_len=np_t)
+                         dprates[i], rngs[i], train, text_len=np_t,
+                         dp_scale=None if dp is None else dp[i])
     if (np_t, np_i) != (text_len, image_len):
         x = jnp.concatenate(
             [x[:, :text_len], x[:, np_t:np_t + image_len]], axis=1)
@@ -277,7 +304,10 @@ def _text_trunk(
     text_labels = batch.get(f"text_labels{do_mlm}")
     text_masks = batch["text_masks"].astype(jnp.int32)
 
-    rngs = _layer_rngs(rng, 2 * spec.num_layers + 1)
+    rngs = _layer_rngs(rng, 2 * spec.num_layers + 3)
+    dp = _dp_scale_table(spec, rngs[-3], train, text_ids.shape[0])
+    dp_vl = _dp_scale_table(spec, rngs[-2], train, text_ids.shape[0]) \
+        if vlffn_rerun else None
     x = text_embed(params, spec, text_ids, train=train, rng=rngs[-1])
     x = x + _token_type(params, 0, x, x.dtype)
 
@@ -289,7 +319,8 @@ def _text_trunk(
     hidden = []
     for i, b in enumerate(spec.blocks):
         x = _block_apply(params, spec, b, x, text_masks, bias[i], L,
-                         dprates[i], rngs[i], train)
+                         dprates[i], rngs[i], train,
+                         dp_scale=None if dp is None else dp[i])
         hidden.append(x)
 
     vlffn_hiddens = None
@@ -300,7 +331,8 @@ def _text_trunk(
         for i in range(spec.vlffn_start_layer_index, spec.num_layers):
             vlffn_hiddens = _block_apply(
                 params, spec, spec.blocks[i], vlffn_hiddens, text_masks,
-                bias[i], VL, dprates[i], rngs[spec.num_layers + i], train)
+                bias[i], VL, dprates[i], rngs[spec.num_layers + i], train,
+                dp_scale=None if dp_vl is None else dp_vl[i])
     return hidden, vlffn_hiddens, text_ids, text_labels, text_masks
 
 
@@ -360,9 +392,12 @@ def _image_trunk(
         imgkey = f"image_{image_token_type_idx - 1}"
         image = batch[imgkey] if imgkey in batch else batch["image"]
 
-    rngs = _layer_rngs(rng, 2 * spec.num_layers)
+    rngs = _layer_rngs(rng, 2 * spec.num_layers + 2)
     x, image_masks = visual_embed(params, spec, image,
                                   bool_masked_pos=bool_masked_pos)
+    dp = _dp_scale_table(spec, rngs[-2], train, x.shape[0])
+    dp_vl = _dp_scale_table(spec, rngs[-1], train, x.shape[0]) \
+        if vlffn_rerun else None
     x = x + _token_type(params, image_token_type_idx, x, x.dtype)
 
     n = x.shape[1]
@@ -384,7 +419,8 @@ def _image_trunk(
     hidden = []
     for i, b in enumerate(spec.blocks):
         x = _block_apply(params, spec, b, x, image_masks, bias[i], V,
-                         dprates[i], rngs[i], train)
+                         dprates[i], rngs[i], train,
+                         dp_scale=None if dp is None else dp[i])
         hidden.append(x)
 
     vlffn_hiddens = None
@@ -396,7 +432,8 @@ def _image_trunk(
             vlffn_hiddens = _block_apply(
                 params, spec, spec.blocks[i], vlffn_hiddens, image_masks,
                 bias[i], VL, dprates[i], rngs[spec.num_layers + i], train,
-                text_len=0)
+                text_len=0,
+                dp_scale=None if dp_vl is None else dp_vl[i])
     if np_ != n:
         hidden = hidden[:-1] + [hidden[-1][:, :n]]
         if vlffn_hiddens is not None:

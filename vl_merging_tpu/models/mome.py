@@ -278,8 +278,13 @@ def block_forward(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     text_len: Optional[int] = None,
+    dp_scale: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One MoME block (vision_transformer.py:683-691 dispatch)."""
+    """One MoME block (vision_transformer.py:683-691 dispatch).
+
+    ``dp_scale`` — optional precomputed (2, B) stochastic-depth scales
+    (model._dp_scale_table); when given, the per-block drop_path rng is
+    skipped entirely (the ~180 tiny RNG ops cost ~15 ms/step otherwise)."""
     p = f"transformer.blocks.{b.index}"
     # Fused sequences split at Block.max_text_len == config max_text_len
     # (vision_transformer.py:493, 510, 542); when the fused batch was built
@@ -304,16 +309,18 @@ def block_forward(
             params, spec, b, x[:, :text_len], None if mask is None
             else mask[:, :text_len], None if rel_bias is None
             else rel_bias[:, :text_len, :text_len], L,
-            drop_path_rate=drop_path_rate, rng=rng, train=train)
+            drop_path_rate=drop_path_rate, rng=rng, train=train,
+            dp_scale=dp_scale)
         xi, ai = block_forward(
             params, spec, b, x[:, text_len:], None if mask is None
             else mask[:, text_len:], None if rel_bias is None
             else rel_bias[:, text_len:, text_len:], V,
-            drop_path_rate=drop_path_rate, rng=rng, train=train)
+            drop_path_rate=drop_path_rate, rng=rng, train=train,
+            dp_scale=dp_scale)
         return jnp.concatenate([xt, xi], axis=1), ai
 
     r1 = r2 = None
-    if train and rng is not None:
+    if train and rng is not None and dp_scale is None:
         r1, r2 = jax.random.split(rng)
 
     fast = _block_fast(params, spec, b, x, mask, rel_bias, type_id,
@@ -321,12 +328,28 @@ def block_forward(
     if fast is not None:
         return fast, None
 
+    def residual(x, branch, gamma, s, r):
+        g = params[gamma].astype(branch.dtype)
+        if dp_scale is not None and train:
+            # fold γ and the per-sample stochastic-depth scale into one
+            # tiny (B, 1, C) operand so the big (B, N, C) tensor sees a
+            # single broadcast multiply
+            gs = dp_scale[s][:, None, None].astype(branch.dtype) * g
+            return x + branch * gs
+        return x + drop_path(g * branch, drop_path_rate, r, train)
+
     branch, attn_probs = _attn_part(params, p, b, x, mask, rel_bias, type_id,
                                     spec, text_len)
-    g1 = params[f"{p}.gamma_1"].astype(branch.dtype)
-    x = x + drop_path(g1 * branch, drop_path_rate, r1, train)
+    x = residual(x, branch, f"{p}.gamma_1", 0, r1)
 
     branch2 = _mlp_part(params, p, b, x, type_id, text_len)
-    g2 = params[f"{p}.gamma_2"].astype(branch2.dtype)
-    x = x + drop_path(g2 * branch2, drop_path_rate, r2, train)
+    x = residual(x, branch2, f"{p}.gamma_2", 1, r2)
+    if train and (dp_scale is not None
+                  or (rng is not None and drop_path_rate > 0.0)):
+        # With stochastic depth active, XLA duplicates the scaled-residual
+        # chains into multiple consumer fusions and the schedule
+        # serializes — +15 ms/fwd at @224 B22.  Pinning the block output
+        # once recovers it (62.4 vs 75.5 ms fwd, same cost-model flops;
+        # tools/fwd224d/e probes).  Eval graphs fuse fine without it.
+        x = jax.lax.optimization_barrier(x)
     return x, attn_probs

@@ -45,7 +45,10 @@ def reference_attention(
     (vision_transformer.py:346-355).  bf16 logits (softmax still f32)
     halve the (B,H,N,N) HBM traffic — measured +14% eval throughput on
     the bandwidth-bound dev chip — and are opt-in via config
-    ``attention_logits_dtype="bf16"``."""
+    ``attention_logits_dtype="bf16"``.  ACCURACY CAVEAT: the bf16-logit
+    score drift (max |Δ| ~1.2e-3) measurably flips retrieval top-k sets
+    when scores are tightly spaced (tools/bf16_logits_probe.py) — not for
+    reported R@k."""
     from jax.ad_checkpoint import checkpoint_name
 
     s = jax.lax.dot_general(

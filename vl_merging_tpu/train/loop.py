@@ -36,6 +36,30 @@ ARRAY_KEYS_EXCLUDED = ("text", "qid", "vqa_labels", "vqa_scores",
                        "cap_index", "raw_index", "replica")
 
 
+def eval_cast_params(params, spec, cfg):
+    """One-time bf16 pre-cast of f32 master params for eval sweeps.
+
+    When the compute dtype is bf16 every matmul casts its weight per use
+    anyway, so pre-casting 2-D+ ``.weight`` leaves is numerically
+    identical there and halves weight HBM reads (~2% tower throughput,
+    tools/eval_attrib_probe.py).  Kept f32: 1-D leaves (LN scales/
+    biases, gammas), the f32 rel-pos bias tables, and the
+    text_embeddings.* tables (their LayerNorm runs on the f32 rows
+    BEFORE the compute-dtype cast, model.text_embed) — so the output is
+    bit-identical to feeding the f32 masters."""
+    if (spec.compute_dtype != "bfloat16"
+            or not cfg.get("eval_params_bf16", True)):
+        return params
+    return {
+        k: (v.astype(jnp.bfloat16)
+            if (hasattr(v, "dtype") and v.dtype == jnp.float32
+                and v.ndim >= 2 and k.endswith(".weight")
+                and "bias_table" not in k
+                and not k.startswith("text_embeddings."))
+            else v)
+        for k, v in params.items()}
+
+
 def pad_to_multiple(batch: Dict, size: int):
     """Pad every batch-leading array up to ``size`` rows by repeating the
     final row; returns ``(padded_batch, n_valid)``.
@@ -328,7 +352,8 @@ class Trainer:
                 else dm.make_no_false_test_dset)
         text_dset = make()
         image_dset = make(image_only=True)
-        params = self.state.params if hasattr(self, "state") else self.params
+        params = self._eval_cast(
+            self.state.params if hasattr(self, "state") else self.params)
 
         ndev = self.mesh.devices.size
 
@@ -354,10 +379,14 @@ class Trainer:
             itm_rerank_topk=self.cfg["itm_rerank_topk"])
         return out
 
+    def _eval_cast(self, params):
+        return eval_cast_params(params, self.spec, self.cfg)
+
     # -- test ----------------------------------------------------------------
     def test(self, datamodule) -> Dict[str, float]:
         cfg = self.cfg
-        params = self.state.params if hasattr(self, "state") else self.params
+        params = self._eval_cast(
+            self.state.params if hasattr(self, "state") else self.params)
         results: Dict[str, float] = {}
         if cfg["loss_names"]["vqa"] > 0:
             loader = datamodule.test_loader(self.local_batch)

@@ -53,6 +53,22 @@ def _resolve_pallas(cfg: Dict, spec: ModelSpec) -> bool:
     return bool(flag)
 
 
+def _fast_rng(cfg: Dict, key: jax.Array) -> jax.Array:
+    """Convert a raw threefry key to the configured training PRNG impl.
+
+    With ``train_rng_impl="unsafe_rbg"`` every downstream
+    ``jax.random.split`` / ``bernoulli`` lowers to the TPU hardware
+    RngBitGenerator instead of threefry lane arithmetic — the per-block
+    drop-path keys cost ~18 ms/step of VPU time at @224 B22 otherwise
+    (tools/fwd224b_probe.py).  The checkpointed ``TrainState.rng`` stays a
+    raw uint32 threefry key; conversion happens per step, so resume
+    determinism and checkpoint layout are unchanged."""
+    if cfg.get("train_rng_impl", "unsafe_rbg") != "unsafe_rbg":
+        return key
+    data = jnp.concatenate([key.astype(jnp.uint32)] * 2)       # (4,) uint32
+    return jax.random.wrap_key_data(data, impl="unsafe_rbg")
+
+
 def active_tasks(cfg: Dict) -> Tuple[str, ...]:
     """Tasks with loss weight ≥ 1 (reference vilt_utils.py:218-222)."""
     return tuple(k for k, v in cfg["loss_names"].items() if v >= 1)
@@ -159,7 +175,8 @@ def make_train_step(
         from ..models.mome import pallas_attention
 
         with pallas_attention(_resolve_pallas(cfg, spec)):
-            out = compute_losses(params, spec, cfg, batch, rng, train=True,
+            out = compute_losses(params, spec, cfg, batch,
+                                 _fast_rng(cfg, rng), train=True,
                                  mim_label_fn=mim_label_fn)
         return total_loss(out, dp_scale), scalar_metrics(out)
 
