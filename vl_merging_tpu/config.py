@@ -146,12 +146,16 @@ def base_config() -> ConfigDict:
         load_path="",
         num_workers=8,
         precision="bf16",         # "bf16" | "f32" (reference: fp16 AMP)
-        # "f32" (reference parity) | "bf16" (+14% eval throughput).  WARNING:
-        # bf16 logits measurably flip retrieval top-k ranks when score gaps
+        # "f32" (reference parity) | "bf16" (+14% eval throughput; @224
+        # pretrain TRAINING 160.4 -> 147.5 ms/step).  WARNING (eval): bf16
+        # logits measurably flip retrieval top-k ranks when score gaps
         # are tight (tools/bf16_logits_probe.py @384: score max|Δ| 1.2e-3,
         # top-1 set mismatches on 5.7% of images / 24.6% of texts at
         # random weights, where the bf16-PARAMS pre-cast shows zero) — do
-        # not use for reported R@k numbers.
+        # not use for reported R@k numbers.  For TRAINING the drift is
+        # noise (global grad cosine 0.999964, worst leaf 0.9987 vs f32,
+        # tools/bf16_logits_train_probe.py) but the reference computes f32
+        # logits even under AMP, so it stays opt-in.
         attention_logits_dtype="f32",
         # Pallas fast path in train/eval steps (eval CLIs/bench always use
         # it).  None = auto: ON for training when image_len >= 577 (@384+,
