@@ -222,12 +222,13 @@ def _single_expert_suffix(b: BlockSpec, type_id: int, which: str):
 
 def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     """Whole eval block through the fused kernels (ops/fused_block.py):
-    LN1+qkv → packed attention → proj+LayerScale+residual →
-    LN2+MLP+LayerScale+residual.  Returns None when any stage needs the
-    split/expert-pair routing, a gram tap is active, training wants
+    LN1+qkv → packed attention → proj+LayerScale+residual+LN2+MLP+
+    LayerScale+residual (one proj_mlp_tail kernel — the post-attention
+    intermediate never touches HBM).  Returns None when any stage needs
+    the split/expert-pair routing, a gram tap is active, training wants
     drop-path RNG, or the Pallas shapes don't apply."""
     from ..ops.attention import packed_fused_attention
-    from ..ops.fused_block import ln_linear, linear_residual, mlp_tail
+    from ..ops.fused_block import ln_linear, proj_mlp_tail
     from .taps import _ACTIVE_TAP
 
     N = x.shape[1]
@@ -256,13 +257,12 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
                     params[f"{ap}.qkv.weight"], qkv_bias, use_pallas=True)
     scale = (spec.hidden_size // spec.num_heads) ** -0.5
     ctx = packed_fused_attention(qkv, rel_bias, mask, scale, spec.num_heads)
-    x = linear_residual(ctx, params[f"{ap}.proj.weight"],
-                        params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
-                        x, use_pallas=True)
-    return mlp_tail(x, params[f"{n2}.weight"], params[f"{n2}.bias"],
-                    params[f"{mp}.fc1.weight"], params[f"{mp}.fc1.bias"],
-                    params[f"{mp}.fc2.weight"], params[f"{mp}.fc2.bias"],
-                    params[f"{p}.gamma_2"], use_pallas=True)
+    return proj_mlp_tail(ctx, params[f"{ap}.proj.weight"],
+                         params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
+                         x, params[f"{n2}.weight"], params[f"{n2}.bias"],
+                         params[f"{mp}.fc1.weight"], params[f"{mp}.fc1.bias"],
+                         params[f"{mp}.fc2.weight"], params[f"{mp}.fc2.bias"],
+                         params[f"{p}.gamma_2"], use_pallas=True)
 
 
 def block_forward(

@@ -33,6 +33,7 @@ from .mlp import _erf_gelu, _round_up
 BLOCK_M = 512
 LN_EPS = 1e-6
 _VMEM_LIMIT = 100 * 1024 * 1024
+_INTERPRET = False  # tests flip this to run the kernels off-TPU
 
 
 def _ln_f32(x, w_ref, b_ref):
@@ -73,6 +74,36 @@ def _mlp_tail_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     o_ref[...] = (x_ref[...].astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
+def _proj_mlp_kernel(x_ref, wp_ref, bp_ref, g1_ref, lnw_ref, lnb_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, res_ref,
+                     o_ref):
+    """proj + LayerScale + residual + LN + MLP + LayerScale + residual —
+    the entire post-attention half of a block in one row-blocked kernel.
+
+    Bit-identical to the linear_residual → mlp_tail pair: the
+    intermediate x' = res + γ1⊙proj(ctx) is rounded to the block dtype
+    before the LN (exactly what the split pipeline stores to HBM), it
+    just never leaves VMEM (~0.7 GB/layer of HBM at ViT-B @384 B384)."""
+    y = jax.lax.dot_general(
+        x_ref[...], wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = (y + bp_ref[...].astype(jnp.float32)) * g1_ref[...].astype(
+        jnp.float32)
+    x1 = (res_ref[...].astype(jnp.float32) + y).astype(x_ref.dtype)
+
+    xn = _ln_f32(x1, lnw_ref, lnb_ref).astype(x_ref.dtype)
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = _erf_gelu(h + b1_ref[...].astype(jnp.float32))
+    y2 = jax.lax.dot_general(
+        h.astype(x_ref.dtype), w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y2 = (y2 + b2_ref[...].astype(jnp.float32)) * g2_ref[...].astype(
+        jnp.float32)
+    o_ref[...] = (x1.astype(jnp.float32) + y2).astype(o_ref.dtype)
+
+
 def _row_call(kernel, x2d, consts, out_dim, extra_row_inputs=()):
     """Common grid plumbing: row blocks of x (+ optional row-aligned
     inputs), VMEM-resident constants."""
@@ -103,6 +134,7 @@ def _row_call(kernel, x2d, consts, out_dim, extra_row_inputs=()):
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_INTERPRET,
     )(x2d, *consts, *extra_row_inputs)
     return out[:M] if Mp != M else out
 
@@ -162,4 +194,29 @@ def mlp_tail(x, ln_w, ln_b, w1, b1, w2, b2, gamma, *,
     out = _row_call(_mlp_tail_kernel, x.reshape(B * N, C),
                     (ln_w, ln_b, w1.astype(x.dtype), b1,
                      w2.astype(x.dtype), b2, gamma), C)
+    return out.reshape(B, N, C)
+
+
+def proj_mlp_tail(ctx, wp, bp, gamma1, res, ln_w, ln_b, w1, b1, w2, b2,
+                  gamma2, *, use_pallas: bool = False):
+    """y = x' + γ2 ⊙ fc2(GELU(fc1(LN(x')))) with
+    x' = res + γ1 ⊙ (ctx @ Wpᵀ + bp): the whole post-attention half of a
+    block fused so x' never touches HBM.  Falls back to the
+    linear_residual → mlp_tail pair (identical numerics)."""
+    B, N, C = ctx.shape
+    H = w1.shape[0]
+    if not (use_pallas and jax.default_backend() == "tpu"
+            and _shapes_ok(C, H, B * N) and wp.shape[0] % 128 == 0
+            # weights (proj + fc1 + fc2) + the (BLOCK_M, H) f32 hidden
+            and (2 * H * C + C * C) * 2 + BLOCK_M * H * 4
+            < 24 * 1024 * 1024):
+        x1 = linear_residual(ctx, wp, bp, gamma1, res,
+                             use_pallas=use_pallas)
+        return mlp_tail(x1, ln_w, ln_b, w1, b1, w2, b2, gamma2,
+                        use_pallas=use_pallas)
+    out = _row_call(_proj_mlp_kernel, ctx.reshape(B * N, C),
+                    (wp.astype(ctx.dtype), bp, gamma1, ln_w, ln_b,
+                     w1.astype(ctx.dtype), b1, w2.astype(ctx.dtype), b2,
+                     gamma2),
+                    C, extra_row_inputs=(res.reshape(B * N, C),))
     return out.reshape(B, N, C)
