@@ -114,6 +114,11 @@ def test_transforms_shapes():
 
 
 def test_masking_generator():
+    import random as _random
+    _random.seed(1234)  # the bound below is statistical, not universal —
+    # rare RNG streams give 10 straight failed block attempts (delta==0
+    # break) and a sum below 70; pin the stream so the test is
+    # order-independent
     # the real config's window: 14x14 patches, 75 masked (config.py:161)
     gen = MaskingGenerator(14, num_masking_patches=75)
     # the block-wise sampler may fall a few short when the final block
@@ -122,6 +127,47 @@ def test_masking_generator():
         m = gen()
         assert m.shape == (14, 14)
         assert 70 <= m.sum() <= 75 + 16
+
+
+def test_masking_generator_3d_matches_executed_reference():
+    """Bit-equal masks vs the reference's operative MaskingGenerator3D
+    (the SECOND definition at masking_generator.py:165-235 — the first
+    is shadowed) under a shared random seed: the per-attempt RNG call
+    order (area, aspect, top, left, t_start, t_end) is identical."""
+    import ast
+    import math
+    import random
+    import types
+
+    from vl_merging_tpu.data.masking_generator import MaskingGenerator3D
+
+    path = "/root/reference/src/vilt/datasets/masking_generator.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    cls = [n for n in tree.body if isinstance(n, ast.ClassDef)
+           and n.name == "MaskingGenerator3D"][-1]
+    # np.int was removed in numpy>=1.24; shim it for the exec'd oracle
+    np_shim = types.SimpleNamespace(zeros=np.zeros, int=int)
+    ns = {"np": np_shim, "math": math, "random": random}
+    exec(compile(ast.Module(body=[cls], type_ignores=[]), path, "exec"), ns)
+    RefGen = ns["MaskingGenerator3D"]
+
+    for window, frames, n_mask, min_b in [(14, 4, 75 * 4, 16),
+                                          (14, 2, 75 * 2, 4),
+                                          (8, 3, 20 * 3, 4)]:
+        ref = RefGen(window, frames, num_masking_patches=n_mask,
+                     min_num_patches=min_b)
+        ours = MaskingGenerator3D(window, frames, num_masking_patches=n_mask,
+                                  min_num_patches=min_b)
+        for seed in range(5):
+            random.seed(seed)
+            want = np.asarray(ref())
+            random.seed(seed)
+            got = ours()
+            assert got.shape == (frames, window, window)
+            np.testing.assert_array_equal(got, want)
 
 
 def test_sharded_sampler_partition():
@@ -140,6 +186,25 @@ def test_sharded_sampler_partition():
     s2 = ShardedBatchSampler(103, 4, 4, 0, seed=7)
     s2.set_epoch(3)
     assert [i for b in s2 for i in b] == idx_by_host[0]
+
+
+def test_sampler_single_host_tail_has_no_duplicates():
+    """drop_last=False, num_hosts=1: the final batch is the true short
+    tail — no wrap-around duplication (that exists only multi-host, for
+    torch-DistributedSampler batch-count parity).  Eval loops handle
+    device divisibility themselves via pad_to_multiple."""
+    s = ShardedBatchSampler(10, batch_size=4, shuffle=False,
+                            drop_last=False)
+    batches = list(s)
+    assert [len(b) for b in batches] == [4, 4, 2]
+    assert sum(batches, []) == list(range(10))
+    # multi-host keeps the wrap: equal batch counts on every host
+    per_host = [list(ShardedBatchSampler(10, 4, num_hosts=2, host_index=h,
+                                         shuffle=False, drop_last=False))
+                for h in range(2)]
+    assert all(len(b) == 4 for bs in per_host for b in bs)
+    flat = [i for bs in per_host for b in bs for i in b]
+    assert sorted(set(flat)) == list(range(10)) and len(flat) == 16
 
 
 def test_caption_dataset_and_loader(root):

@@ -211,6 +211,30 @@ def test_sharded_recall_equals_single_device(root, tmp_path):
                            for k in (1, 5, 10)}
 
 
+def test_sharded_vqa_predictions_equal_single_device(root, tmp_path):
+    """The VQA test loop feeds padded batches with the mesh (same
+    VERDICT r2 missing #1 as recall): mesh(8) must write the identical
+    submission json as mesh(1)."""
+    import json as _json
+    from vl_merging_tpu.run import main
+
+    def run(num_devices):
+        log_dir = str(tmp_path / f"vqa{num_devices}")
+        main(cli_args(root, log_dir, datasets=["vqa"],
+                      loss_names={"vqa": 1}, test_only=True,
+                      num_devices=num_devices))
+        for dirpath, _, files in os.walk(log_dir):
+            for f in files:
+                if f.startswith("vqa_submit"):
+                    return _json.load(open(os.path.join(dirpath, f)))
+        raise AssertionError(f"no submission under {log_dir}")
+
+    single = run(1)
+    sharded = run(None)  # all 8 CPU devices
+    key = lambda r: r["question_id"]
+    assert sorted(single, key=key) == sorted(sharded, key=key)
+
+
 def test_fit_with_grad_accumulation(root, tmp_path):
     """batch_size > per_device*devices → accumulation path through Trainer."""
     from vl_merging_tpu.run import main

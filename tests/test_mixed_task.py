@@ -100,6 +100,42 @@ def test_mixed_task_training(root, tmp_path):
     assert int(trainer.state.step) >= 1
 
 
+def test_mixed_task_grad_accumulation(root, tmp_path):
+    """batch_size > per_device*devices with nested {'v','l','vl'} batches:
+    Trainer._stack_micro must stack each task sub-dict's leaves into the
+    (accum, micro, …) layout (regression: it used to jnp.stack the task
+    dicts themselves and crash)."""
+    from vl_merging_tpu.data.datamodule import MultiMTDataModule
+    from vl_merging_tpu.train.loop import Trainer
+
+    cfg = build_config(overrides=dict(
+        tasks=["l", "vl"],
+        datasets=[["wikipedia"], ["f30k"]],
+        data_roots=[[os.path.join(root, "text.txt")], [root]],
+        loss_names={"text_only_mlm": 1, "itm": 1, "mlm": 1, "ifm": 1},
+        data_root=root, log_dir=str(tmp_path / "logs"),
+        tokenizer=os.path.join(root, "vocab.txt"),
+        hidden_size=32, num_heads=2, num_layers=2, image_size=32,
+        patch_size=16, max_text_len=16, max_text_len_of_initckpt=16,
+        max_vl_text_len=16, vlffn_start_layer_index=1, precision="f32",
+        per_device_batch_size=1, batch_size=16, num_workers=0,
+        max_steps=1, warmup_steps=0, fast_dev_run=True,
+    ))
+    dm = MultiMTDataModule(cfg)
+    trainer = Trainer(cfg)
+    assert trainer.accum_steps == 2  # 16 / (1 * 8 devices)
+    trainer.fit(dm)
+    assert int(trainer.state.step) >= 1
+
+
+def test_vl_text_len_must_not_exceed_text_len():
+    """max_vl_text_len truncates the vl window of the max_text_len-sized
+    rel-pos index (reference vilt_module.py:195-201) — a longer vl window
+    is rejected at config build instead of crashing in the first step."""
+    with pytest.raises(ValueError, match="max_vl_text_len"):
+        build_config(overrides=dict(max_text_len=16, max_vl_text_len=40))
+
+
 def test_msrvtt_frame_dataset(root, tmp_path):
     """Frame-TSV video dataset: single-frame sampling + captions."""
     import json
@@ -165,3 +201,46 @@ def test_msrvtt_multi_frame_sampling(root, tmp_path):
     a = ds_eval[0]["image"]
     assert a.shape == (3, 3, 32, 32)
     np.testing.assert_array_equal(a, ds_eval[0]["image"])
+
+
+def test_video_mim_masks(root, tmp_path):
+    """Video MIM (reference tsv_dataset.py:85-101): multi-frame items emit
+    stacked two-view pairs plus a (T*H*W) 3D block mask scaled by the
+    frame count; single-frame falls back to the 2D generator."""
+    import json
+    from vl_merging_tpu.data.video import MSRVTTDataset
+    from vl_merging_tpu.data.masking_generator import (
+        MaskingGenerator, MaskingGenerator3D)
+    from vl_merging_tpu.data.text import build_tokenizer
+
+    vdir = str(tmp_path / "video")
+    rows = [[f"video{i}", "{}"] + [_b64_jpeg(i + 7 * j) for j in range(4)]
+            for i in range(2)]
+    write_tsv(rows, os.path.join(vdir, "msrvtt_train.tsv"))
+    caps = {f"video{i}": [f"clip {i}"] for i in range(2)}
+    with open(os.path.join(vdir, "msrvtt_train.caption.json"), "w") as f:
+        json.dump(caps, f)
+
+    tok = build_tokenizer(os.path.join(root, "vocab.txt"))
+    common = dict(
+        data_dir=vdir, names=["msrvtt_train"],
+        transform_keys=["square_transform_mim"], image_size=64,
+        patch_size=16, num_mask_patches=4, min_mask_patches_per_block=1,
+        dvae_image_size=32, max_text_len=12, tokenizer=tok, split="train")
+
+    ds = MSRVTTDataset(size_frame=2, **common)
+    assert isinstance(ds.masked_position_generator, MaskingGenerator3D)
+    # num_masking_patches scales with the frame count (tsv_dataset.py:96)
+    assert ds.masked_position_generator.num_masking_patches == 8
+    s = ds[0]
+    assert s["image"].shape == (2, 3, 64, 64)
+    assert s["image_target"].shape == (2, 3, 32, 32)
+    assert s["image_masked_pos"].shape == (2 * 4 * 4,)
+    # block sampling may fall short only when 10 attempts in a row fail
+    assert 4 <= s["image_masked_pos"].sum() <= 32
+
+    ds1 = MSRVTTDataset(size_frame=1, **common)
+    assert isinstance(ds1.masked_position_generator, MaskingGenerator)
+    s1 = ds1[0]
+    assert s1["image"].shape == (3, 64, 64)
+    assert s1["image_masked_pos"].shape == (4 * 4,)

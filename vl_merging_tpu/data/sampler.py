@@ -50,7 +50,13 @@ class ShardedBatchSampler:
                  else np.arange(self.dataset_len))
         global_batch = self.batch_size * self.num_hosts
         n_batches = len(self)
-        if not self.drop_last:
+        if not self.drop_last and self.num_hosts > 1:
+            # Multi-host: wrap-pad so every host sees the same batch count
+            # (torch DistributedSampler semantics the reference relies on —
+            # duplicated tail predictions included).  Single-host instead
+            # yields the true short tail: device-divisibility is the eval
+            # loop's job (pad_to_multiple + output slicing), and wrapping
+            # here would duplicate examples in VQA submissions / metrics.
             pad = n_batches * global_batch - self.dataset_len
             if pad > 0:
                 order = np.concatenate([order, order[:pad]])

@@ -16,8 +16,9 @@ import os.path as op
 import random
 from typing import Dict, List
 
+from .masking_generator import MaskingGenerator, MaskingGenerator3D
 from .tsv import CompositeTSVFile, TSVFile, decode_b64_image
-from .transforms import keys_to_transforms
+from .transforms import keys_to_transforms, keys_to_transforms_for_mim
 
 
 class FrameTSVDataset:
@@ -37,6 +38,11 @@ class FrameTSVDataset:
         tokenizer=None,
         split: str = "train",
         size_frame: int = 1,
+        patch_size: int = 16,
+        num_mask_patches: int = 75,
+        max_mask_patches_per_block=None,
+        min_mask_patches_per_block: int = 16,
+        dvae_image_size: int = 112,
         **_,
     ):
         paths = [op.join(data_dir, f"{n}.tsv") for n in names
@@ -44,7 +50,28 @@ class FrameTSVDataset:
         if not paths:
             raise FileNotFoundError(f"no frame .tsv for {names} in {data_dir}")
         self.tsv = CompositeTSVFile(paths)
-        self.transforms = keys_to_transforms(transform_keys, size=image_size)
+        # Video MIM (reference tsv_dataset.py:85-101): 2D block masks for
+        # single-frame, MaskingGenerator3D over (T, H, W) slabs with
+        # num_mask_patches scaled by the frame count otherwise.
+        self.use_mim_transform = any(t.endswith("mim") for t in transform_keys)
+        if self.use_mim_transform:
+            window = image_size // patch_size
+            if size_frame == 1:
+                self.masked_position_generator = MaskingGenerator(
+                    window, num_masking_patches=num_mask_patches,
+                    max_num_patches=max_mask_patches_per_block,
+                    min_num_patches=min_mask_patches_per_block)
+            else:
+                self.masked_position_generator = MaskingGenerator3D(
+                    window, size_frame,
+                    num_masking_patches=num_mask_patches * size_frame,
+                    max_num_patches=max_mask_patches_per_block,
+                    min_num_patches=min_mask_patches_per_block)
+            self.transforms = keys_to_transforms_for_mim(
+                transform_keys, size=image_size, second_size=dvae_image_size)
+        else:
+            self.transforms = keys_to_transforms(transform_keys,
+                                                 size=image_size)
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
         self.split = split
@@ -125,25 +152,34 @@ class FrameTSVDataset:
             center_frame=(not random_sample and self.size_frame == 1))
         return [2 + i for i in idx]
 
+    @staticmethod
+    def _stack_or_single(frames):
+        if len(frames) == 1:
+            return frames[0]
+        import numpy as _np
+        return _np.stack(frames, axis=0)
+
     def __getitem__(self, index: int) -> Dict:
         row_idx, cap_idx = self.index_mapper[index]
         row = self.tsv[row_idx]
         frames = [self.transforms[0](decode_b64_image(row[i]))
                   for i in self._sample_frames(row)]
-        # single-frame (all reference configs: num_frames=1) keeps the image
-        # contract; multi-frame stacks (T, C, H, W) like the reference's
-        # torch.stack(image_tensor, dim=0) (msrvtt_dataset.py:200-210)
-        if len(frames) == 1:
-            image = frames[0]
-        else:
-            import numpy as _np
-            image = _np.stack(frames, axis=0)
         ret: Dict = {
-            "image": image,
             "img_index": self._img_index(row_idx, row[0]),
             "cap_index": cap_idx,
             "raw_index": index,
         }
+        # single-frame (all reference configs: num_frames=1) keeps the image
+        # contract; multi-frame stacks (T, C, H, W) like the reference's
+        # torch.stack(image_tensor, dim=0) (msrvtt_dataset.py:200-210)
+        if self.use_mim_transform:
+            views, targets = zip(*frames)
+            ret["image"] = self._stack_or_single(list(views))
+            ret["image_target"] = self._stack_or_single(list(targets))
+            ret["image_masked_pos"] = \
+                self.masked_position_generator().reshape(-1)
+        else:
+            ret["image"] = self._stack_or_single(frames)
         caps = self.captions.get(row[0])
         if caps and self.tokenizer is not None:
             text = caps[cap_idx]
@@ -174,11 +210,6 @@ class MSRVTTDataset(FrameTSVDataset):
         kwargs.pop("draw_false_image", None)
         kwargs.pop("draw_false_text", None)
         kwargs.pop("image_only", None)
-        kwargs.pop("patch_size", None)
-        kwargs.pop("num_mask_patches", None)
-        kwargs.pop("max_mask_patches_per_block", None)
-        kwargs.pop("min_mask_patches_per_block", None)
-        kwargs.pop("dvae_image_size", None)
         kwargs.pop("max_vl_text_len", None)
         super().__init__(*args, names=names, split=split, **kwargs)
 

@@ -85,6 +85,21 @@ def pad_to_multiple(batch: Dict, size: int):
     return out, n
 
 
+def pad_batch_for_mesh(batch: Dict, ndev: int):
+    """Pad a (possibly mixed-task nested) batch to ``ndev``-divisible rows
+    via :func:`pad_to_multiple`; returns ``(padded, n_valid)`` where
+    ``n_valid`` is the top-level true row count (None for nested batches,
+    whose sub-batches are padded independently)."""
+    if any(isinstance(v, dict) for v in batch.values()):
+        return {k: (pad_batch_for_mesh(v, ndev)[0] if isinstance(v, dict)
+                    else v) for k, v in batch.items()}, None
+    n = next((v.shape[0] for v in batch.values()
+              if isinstance(v, np.ndarray) and v.ndim >= 1), None)
+    if n is None:
+        return batch, None
+    return pad_to_multiple(batch, -(-n // ndev) * ndev)
+
+
 def device_feed(batch: Dict, mesh=None) -> Dict:
     """Numeric arrays → (sharded) device arrays; python payloads dropped.
 
@@ -251,8 +266,14 @@ class Trainer:
         # (accum, micro, …): batch axis 1 shards over the mesh
         sh = NamedSharding(self.mesh,
                            P(None, (parallel.DATA_AXIS, parallel.FSDP_AXIS)))
-        return {k: jax.device_put(jnp.stack([f[k] for f in feeds]), sh)
-                for k in feeds[0]}
+
+        def stack(sub):  # mixed-task feeds nest one dict level per task
+            return {k: (stack([f[k] for f in sub])
+                        if isinstance(sub[0][k], dict) else
+                        jax.device_put(jnp.stack([f[k] for f in sub]), sh))
+                    for k in sub[0]}
+
+        return stack(feeds)
 
     def _wrapup_train_epoch(self, acc: MetricAccumulator, step: int) -> None:
         computed = acc.compute()
@@ -284,16 +305,23 @@ class Trainer:
         limit = (int(len(loader) * cfg["limit_val_batches"])
                  if cfg["limit_val_batches"] != 1.0 else None)
         params = self.state.params if hasattr(self, "state") else self.params
+        ndev = self.mesh.devices.size
         for i, batch in enumerate(loader):
             if limit is not None and i >= limit:
                 break
-            feed = device_feed(batch, self.mesh)
+            # Pad the tail batch to device divisibility by repeating the
+            # final row; the duplicated rows enter the scalar loss metrics,
+            # which matches the reference's DistributedSampler wrap
+            # duplication on multi-rank eval.  Per-example paths below
+            # slice back to n_valid.
+            padded, n_valid = pad_batch_for_mesh(batch, ndev)
+            feed = device_feed(padded, self.mesh)
             rng, key = jax.random.split(rng)
             metrics = self.eval_fn(params, feed, key)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             if "table_name" in batch and "nlvr2_loss" in metrics:
                 logits_fn = self._nlvr2_logits_fn()
-                logits = np.asarray(logits_fn(params, feed))
+                logits = np.asarray(logits_fn(params, feed))[:n_valid]
                 nlvr2_split_update(acc, logits,
                                    np.asarray(batch["answers"]),
                                    batch["table_name"])
