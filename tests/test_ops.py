@@ -58,3 +58,48 @@ def test_fused_attention_matches_reference(n, d):
                                atol=2e-5, rtol=2e-5)
     # padded-out queries produce finite values for valid rows
     assert np.isfinite(np.asarray(got)[:, :, : n // 2]).all()
+
+
+def test_packed_attention_fwd_bwd_interpret_matches_xla_vjp(monkeypatch):
+    """The TRAINING kernels (packed forward + fused backward,
+    ops/attention.py:250/373) vs the XLA composition's VJP, in interpret
+    mode on CPU — the in-suite version of tools/attention_bwd_probe.py.
+    f32 inputs so agreement is tight; B=5 with block_b=2 exercises the
+    batch-padding path (the padded row is fully masked — the kernels'
+    anyvalid guard keeps its contribution zero where XLA would NaN)."""
+    from vl_merging_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    rng = np.random.RandomState(0)
+    B, N, H = 5, 64, 2
+    C = 64 * H
+    scale = 64 ** -0.5
+    qkv = jnp.asarray(rng.randn(B, N, 3 * C).astype(np.float32))
+    bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
+    mask = np.ones((B, N), np.int32)
+    mask[:, 50:] = 0  # padded keys
+    mask = jnp.asarray(mask)
+    g = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    got = A._pallas_packed_attention(qkv, bias, mask.astype(jnp.int32),
+                                     scale, H, block_b=2)
+    want, vjp = jax.vjp(
+        lambda qkv_, bias_: A._packed_reference(qkv_, bias_, mask, scale, H),
+        qkv, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    dqkv, dbias = A._pallas_packed_attention_bwd(
+        qkv, bias, mask.astype(jnp.int32), g, scale, H, block_b=2)
+    dqkv_want, dbias_want = vjp(g)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_want),
+                               atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_want),
+                               atol=5e-5, rtol=5e-5)
+    # fully-masked rows: the kernel stays finite where the XLA softmax
+    # NaNs (STATUS Perf: training robustness property of the fused bwd)
+    mask0 = jnp.zeros_like(mask)
+    dqkv0, dbias0 = A._pallas_packed_attention_bwd(
+        qkv, bias, mask0, g, scale, H, block_b=2)
+    assert np.isfinite(np.asarray(dqkv0)).all()
+    assert np.isfinite(np.asarray(dbias0)).all()

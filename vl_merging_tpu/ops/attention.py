@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MIN_PALLAS_N = 128
+_INTERPRET = False  # tests flip this to run the packed kernels off-TPU
 
 
 def _round_up(x: int, m: int) -> int:
@@ -296,6 +297,7 @@ def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
             flops=8 * block_b * Np * Np * 64,
             transcendentals=2 * block_b * Np * Np,
             bytes_accessed=(3 * block_b * Np * 128 + 2 * Np * Np) * 4),
+        interpret=_INTERPRET,
     )(qkv, qkv, qkv, bias, mask)
     if pad_b:
         out = out[:B]
@@ -418,6 +420,7 @@ def _pallas_packed_attention_bwd(qkv, bias, mask, g, scale: float,
             flops=24 * block_b * Np * Np * 64,
             transcendentals=2 * block_b * Np * Np,
             bytes_accessed=(5 * block_b * Np * 128 + 4 * Np * Np) * 4),
+        interpret=_INTERPRET,
     )(qkv, qkv, qkv, bias, mask, g)
     dqkv = jnp.concatenate([dq_c, dk_c, dv_c], axis=-1)
     if pad_b:
