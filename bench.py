@@ -255,7 +255,58 @@ def run_train(jax, jnp) -> float:
     return TRAIN_BATCH * TRAIN_ITERS / (time.time() - t0)
 
 
+def _require_reachable_tpu(timeout_s: int = 300) -> None:
+    """Fail fast (instead of hanging forever) when the TPU backend is
+    unreachable.  The dev box's axon tunnel goes down for hours at a time
+    and a bare ``jax.devices()`` then blocks indefinitely — probe it in a
+    subprocess with a deadline so a dead link produces a clear error
+    rather than a silent wedge of the whole bench/driver pipeline."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "raise SystemExit(0 if d and d[0].platform != 'cpu' else 3)"],
+            timeout=timeout_s)
+        code = proc.returncode
+    except subprocess.TimeoutExpired:
+        code = -1
+    if code != 0:
+        reason = ("unreachable (probe timed out)" if code == -1
+                  else "absent (only CPU devices visible)")
+        print(f"bench.py: TPU backend {reason}; not printing metrics "
+              f"from a dead/CPU backend", file=sys.stderr)
+        raise SystemExit(1)
+
+
 def main() -> None:
+    _require_reachable_tpu()
+    try:
+        _main_impl()
+    except Exception as exc:  # noqa: BLE001 — safety net around Mosaic
+        import sys
+
+        from vl_merging_tpu.ops import attention, fused_block
+
+        # The newest fusions in the eval graph (proj_mlp_tail whole-tail,
+        # ln_qkv_attention) are the likeliest source of a fresh Mosaic
+        # compile issue on the driver's toolchain; fall back to the
+        # measured split kernels (bit-identical numerics) rather than
+        # lose the round's bench.  Retried lines may duplicate earlier
+        # output; the driver records the LAST line.
+        if not (fused_block._FUSE_WHOLE_TAIL
+                or attention._FUSE_LN_QKV_ATTN):
+            raise
+        print(f"bench.py: retrying with the whole-tail/qkv-attn fusions "
+              f"disabled after: {exc!r}", file=sys.stderr)
+        fused_block._FUSE_WHOLE_TAIL = False
+        attention._FUSE_LN_QKV_ATTN = False
+        _main_impl()
+
+
+def _main_impl() -> None:
     import jax
     import jax.numpy as jnp
 

@@ -69,6 +69,32 @@ def test_mlp_tail_interpret_matches_fallback(interpret_kernels):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_proj_mlp_tail_escape_hatch_routes_to_pair(interpret_kernels,
+                                                   monkeypatch):
+    """VLM_TPU_FUSE_PROJ_MLP=0 (-> _FUSE_WHOLE_TAIL=False) must route
+    proj_mlp_tail through the linear_residual -> mlp_tail pair with
+    identical results — the compile-path safety valve for the fused
+    kernel."""
+    rng = np.random.RandomState(4)
+    B, N, C, H = 2, 8, 128, 512
+    ctx, res = _rand(rng, (B, N, C)), _rand(rng, (B, N, C))
+    wp, bp = _rand(rng, (C, C), s=0.05), _rand(rng, (C,))
+    g1, g2 = _rand(rng, (C,), s=0.1), _rand(rng, (C,), s=0.1)
+    lnw, lnb = _rand(rng, (C,), s=1.0), _rand(rng, (C,))
+    w1, b1 = _rand(rng, (H, C), s=0.05), _rand(rng, (H,))
+    w2, b2 = _rand(rng, (C, H), s=0.05), _rand(rng, (C,))
+    args = (ctx, wp, bp, g1, res, lnw, lnb, w1, b1, w2, b2, g2)
+    fused = F.proj_mlp_tail(*args, use_pallas=True)
+    monkeypatch.setattr(F, "_FUSE_WHOLE_TAIL", False)
+    hatched = F.proj_mlp_tail(*args, use_pallas=True)
+    want = F.mlp_tail(F.linear_residual(ctx, wp, bp, g1, res,
+                                        use_pallas=True),
+                      lnw, lnb, w1, b1, w2, b2, g2, use_pallas=True)
+    assert (np.asarray(hatched) == np.asarray(want)).all()
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(hatched),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_proj_mlp_tail_interpret_matches_split_pair(interpret_kernels):
     """The one-kernel post-attention half == linear_residual → mlp_tail,
     including the bf16 rounding of the intermediate x'."""

@@ -24,6 +24,7 @@ Reference semantics: vision_transformer.py:489-530 (LayerScale residuals),
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,14 @@ BLOCK_M = 512
 LN_EPS = 1e-6
 _VMEM_LIMIT = 100 * 1024 * 1024
 _INTERPRET = False  # tests flip this to run the kernels off-TPU
+
+# Escape hatch for the whole-tail fusion (proj_mlp_tail's single-kernel
+# path): set VLM_TPU_FUSE_PROJ_MLP=0 (or flip this global before tracing)
+# to route through the measured linear_residual -> mlp_tail pair instead.
+# The pair is bit-identical (the fused kernel rounds its intermediate to
+# the block dtype exactly where the pair stores it to HBM), so this only
+# trades the intermediate's HBM round-trip back for compile-path safety.
+_FUSE_WHOLE_TAIL = os.environ.get("VLM_TPU_FUSE_PROJ_MLP", "1") != "0"
 
 
 def _ln_f32(x, w_ref, b_ref):
@@ -205,7 +214,8 @@ def proj_mlp_tail(ctx, wp, bp, gamma1, res, ln_w, ln_b, w1, b1, w2, b2,
     linear_residual → mlp_tail pair (identical numerics)."""
     B, N, C = ctx.shape
     H = w1.shape[0]
-    if not (use_pallas and jax.default_backend() == "tpu"
+    if not (use_pallas and _FUSE_WHOLE_TAIL
+            and jax.default_backend() == "tpu"
             and _shapes_ok(C, H, B * N) and wp.shape[0] % 128 == 0
             # weights (proj + fc1 + fc2) + the (BLOCK_M, H) f32 hidden
             and (2 * H * C + C * C) * 2 + BLOCK_M * H * 4
