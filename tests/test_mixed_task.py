@@ -128,12 +128,15 @@ def test_mixed_task_grad_accumulation(root, tmp_path):
     assert int(trainer.state.step) >= 1
 
 
-def test_vl_text_len_must_not_exceed_text_len():
+def test_vl_text_len_clamped_to_text_len():
     """max_vl_text_len truncates the vl window of the max_text_len-sized
-    rel-pos index (reference vilt_module.py:195-201) — a longer vl window
-    is rejected at config build instead of crashing in the first step."""
-    with pytest.raises(ValueError, match="max_vl_text_len"):
-        build_config(overrides=dict(max_text_len=16, max_vl_text_len=40))
+    rel-pos index (reference vilt_module.py:195-201) — the reference's
+    [:max_vl_text_len] slice CLAMPS when it is >= max_text_len, so
+    build_config normalizes that case to None (no truncation) instead of
+    letting a stale over-long value crash the first step (full matrix in
+    tests/test_config.py)."""
+    cfg = build_config(overrides=dict(max_text_len=16, max_vl_text_len=40))
+    assert cfg["max_vl_text_len"] is None
 
 
 def test_msrvtt_frame_dataset(root, tmp_path):

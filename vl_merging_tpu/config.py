@@ -813,11 +813,11 @@ def _validate(cfg: ConfigDict) -> None:
             f"to match (the reference's named configs do)")
     # max_vl_text_len TRUNCATES the vl text window relative to the pure-NLP
     # max_text_len (reference vilt_module.py:195-201 slices the
-    # max_text_len-sized index by [:max_vl_text_len]); vl > text would
-    # crash both frameworks with an opaque shape mismatch — reject it here.
+    # max_text_len-sized index by [:max_vl_text_len]).  A value >=
+    # max_text_len is a NO-OP in the reference (a python slice clamps), so
+    # normalize it to None here — downstream code (relpos, datasets,
+    # model.infer's static split) treats None as "no truncation" and a
+    # stale over-long value would otherwise crash on shape mismatch.
     if cfg["max_vl_text_len"] is not None and \
-            cfg["max_vl_text_len"] > cfg["max_text_len"]:
-        raise ValueError(
-            f"max_vl_text_len={cfg['max_vl_text_len']} must be <= "
-            f"max_text_len={cfg['max_text_len']} (it truncates the vl text "
-            f"window of the shared rel-pos index)")
+            cfg["max_vl_text_len"] >= cfg["max_text_len"]:
+        cfg["max_vl_text_len"] = None
