@@ -103,3 +103,51 @@ def test_packed_attention_fwd_bwd_interpret_matches_xla_vjp(monkeypatch):
         qkv, bias, mask0, g, scale, H, block_b=2)
     assert np.isfinite(np.asarray(dqkv0)).all()
     assert np.isfinite(np.asarray(dbias0)).all()
+
+
+def test_ln_qkv_attention_interpret_bit_equals_split_pair(monkeypatch):
+    """The single-kernel LN+qkv+attention fusion (ops/attention.py
+    _pallas_ln_qkv_attention) vs the ln_linear -> packed-attention pair it
+    replaces: bit-equal in bf16 (the fused kernel rounds its qkv slices to
+    the block dtype exactly where ln_linear stores them to HBM), and
+    within tolerance of the pure-XLA composition."""
+    from vl_merging_tpu.ops import attention as A
+    from vl_merging_tpu.ops import fused_block as F
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    # ln_linear/packed gates check the backend; interpret runs anywhere
+    # (A.jax and F.jax are the same module object)
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.RandomState(11)
+    B, H, Np, valid_n = 2, 2, 272, 260
+    C = 64 * H
+    scale = 64 ** -0.5
+
+    def t(shape, s=0.5, dtype=jnp.bfloat16):
+        return jnp.asarray((rng.randn(*shape) * s).astype(np.float32)) \
+            .astype(dtype)
+
+    x = t((B, Np, C), 1.0)
+    lnw = t((C,), 1.0, jnp.float32)
+    lnb = t((C,), 0.05, jnp.float32)
+    wqkv = t((3 * C, C), 0.05)
+    qkvb = t((3 * C,), 0.05, jnp.float32)
+    bias = t((H, Np, Np), 0.5, jnp.float32)
+    mask = np.ones((B, Np), np.int32)
+    mask[:, valid_n:] = 0
+    mask = jnp.asarray(mask)
+    args = (x, lnw, lnb, wqkv, qkvb, bias, mask, scale, H)
+
+    monkeypatch.setattr(A, "_FUSE_LN_QKV_ATTN", True)
+    fused = A.ln_qkv_attention(*args, use_pallas=True)
+    monkeypatch.setattr(A, "_FUSE_LN_QKV_ATTN", False)
+    pair = A.ln_qkv_attention(*args, use_pallas=True)
+    assert (np.asarray(fused, np.float32)[:, :valid_n]
+            == np.asarray(pair, np.float32)[:, :valid_n]).all()
+
+    xla = A.ln_qkv_attention(*args, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32)[:, :valid_n],
+        np.asarray(xla, np.float32)[:, :valid_n], atol=0.03, rtol=0.03)

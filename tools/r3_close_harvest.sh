@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 close: on-chip measurements pending the axon tunnel outage.
+# Run (or let /tmp/tunnel_watch.sh auto-run) when the chip is reachable.
+#   1. proj_mlp_probe parity  — the fused whole-tail kernel vs split pair
+#   2. proj_mlp_probe tower   — @384 image-tower delta vs the 1190 img/s
+#                               split-pair baseline
+#   3. bench.py ×2            — driver-style headline smoke (the eval graph
+#                               changed; must compile clean before round end)
+set -u
+OUT=${1:-/tmp/r3_harvest}
+mkdir -p "$OUT"
+cd /root/repo
+
+probe() {
+  timeout 120 python - <<'EOF'
+import jax
+d = jax.devices()
+raise SystemExit(0 if d and d[0].platform != "cpu" else 1)
+EOF
+}
+
+echo "$(date +%s) harvest start" >> "$OUT/harvest.log"
+if ! probe; then
+  echo "$(date +%s) chip unreachable; aborting" >> "$OUT/harvest.log"
+  exit 1
+fi
+
+run() {  # run <name> <cmd...>
+  local name=$1; shift
+  echo "$(date +%s) BEGIN $name" >> "$OUT/harvest.log"
+  timeout 1800 "$@" > "$OUT/$name.log" 2>&1
+  echo "$(date +%s) END $name exit=$?" >> "$OUT/harvest.log"
+}
+
+run proj_mlp_parity python tools/proj_mlp_probe.py parity
+run proj_mlp_tower  python tools/proj_mlp_probe.py tower
+run qkv_attn_probe  python tools/qkv_attn_probe.py
+run bench1          python bench.py
+run bench2          python bench.py
+echo "$(date +%s) harvest done" >> "$OUT/harvest.log"

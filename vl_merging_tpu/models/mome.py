@@ -227,8 +227,8 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     intermediate never touches HBM).  Returns None when any stage needs
     the split/expert-pair routing, a gram tap is active, training wants
     drop-path RNG, or the Pallas shapes don't apply."""
-    from ..ops.attention import packed_fused_attention
-    from ..ops.fused_block import ln_linear, proj_mlp_tail
+    from ..ops.attention import ln_qkv_attention
+    from ..ops.fused_block import proj_mlp_tail
     from .taps import _ACTIVE_TAP
 
     N = x.shape[1]
@@ -253,10 +253,12 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     q_bias = params[f"{ap}.q_bias"]
     qkv_bias = jnp.concatenate(
         [q_bias, jnp.zeros_like(q_bias), params[f"{ap}.v_bias"]])
-    qkv = ln_linear(x, params[f"{n1}.weight"], params[f"{n1}.bias"],
-                    params[f"{ap}.qkv.weight"], qkv_bias, use_pallas=True)
     scale = (spec.hidden_size // spec.num_heads) ** -0.5
-    ctx = packed_fused_attention(qkv, rel_bias, mask, scale, spec.num_heads)
+    # single-kernel LN+qkv+attention when VLM_TPU_FUSE_LN_QKV_ATTN=1,
+    # else the measured ln_linear -> packed-attention pair (bit-identical)
+    ctx = ln_qkv_attention(x, params[f"{n1}.weight"], params[f"{n1}.bias"],
+                           params[f"{ap}.qkv.weight"], qkv_bias, rel_bias,
+                           mask, scale, spec.num_heads, use_pallas=True)
     return proj_mlp_tail(ctx, params[f"{ap}.proj.weight"],
                          params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
                          x, params[f"{n2}.weight"], params[f"{n2}.bias"],

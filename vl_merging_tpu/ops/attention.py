@@ -20,6 +20,7 @@ jnp reference path (identical math; used on CPU and for tiny splits).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -28,6 +29,11 @@ import numpy as np
 
 MIN_PALLAS_N = 128
 _INTERPRET = False  # tests flip this to run the packed kernels off-TPU
+
+# The single-kernel LN+qkv+attention fusion (ln_qkv_attention): interpret-
+# parity-pinned but NOT yet measured on-chip, so default OFF; flip with
+# VLM_TPU_FUSE_LN_QKV_ATTN=1 (tools/qkv_attn_probe.py measures it).
+_FUSE_LN_QKV_ATTN = os.environ.get("VLM_TPU_FUSE_LN_QKV_ATTN", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -302,6 +308,157 @@ def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
     if pad_b:
         out = out[:B]
     return out
+
+
+def _ln_qkv_attn_kernel(x_ref, lnw_ref, lnb_ref, w3_ref, b3_ref, bias_ref,
+                        mask_ref, o_ref, xn_ref, *, scale: float, h2: int):
+    """One (batch-block, head-pair) cell: LN + this pair's qkv projection
+    + fused attention, with the packed qkv tensor never existing in HBM.
+
+    Grid is (B/bb, H2) with the HEAD-PAIR axis fastest, so the x block
+    stays VMEM-resident across all head pairs of a batch block; LN runs
+    once per batch block into the ``xn_ref`` scratch (j == 0) and is
+    reused by the other pairs.  The full (H, Np, Np) rel-pos bias rides
+    in VMEM as a constant block (fetched once for the whole grid) —
+    per-pair bias blocks would re-DMA ~H/2× per batch block.  Each cell
+    contracts LN(x) with only its OWN 128 qkv columns (w3 is the qkv
+    weight reshaped (3C/128, 128, C)), so no projection FLOPs are
+    duplicated.  Numerics are bit-identical to the ln_linear →
+    _packed_kernel pair: qkv slices are rounded to the block dtype
+    exactly where the split pipeline stores them to HBM."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _ln():
+        xn_ref[...] = _ln_rows(x_ref[...], lnw_ref, lnb_ref) \
+            .astype(x_ref.dtype)
+
+    xn = xn_ref[...]
+
+    def proj(idx):
+        y = jax.lax.dot_general(
+            xn, w3_ref[idx], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # bb, Np, 128
+        # b3 is (3C/128, 1, 128): the dynamically-indexed dim stays
+        # untiled (leading dims of ≥3-D arrays), unlike a (3C/128, 128)
+        # layout whose row index would hit the sublane-alignment rule
+        return (y + b3_ref[idx].astype(jnp.float32)).astype(x_ref.dtype)
+
+    q3, k3, v3 = proj(j), proj(h2 + j), proj(2 * h2 + j)
+    valid = mask_ref[:, 0] > 0                             # bb, Np
+    for h in (0, 1):
+        sl = slice(h * 64, (h + 1) * 64)
+        q = q3[:, :, sl] * jnp.asarray(scale, q3.dtype)
+        s = jax.lax.dot_general(
+            q, k3[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # bb, Np, Np
+        s = s + bias_ref[2 * j + h][None]
+        s = jnp.where(valid[:, None, :], s,
+                      jnp.asarray(-jnp.inf, jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v3.dtype), v3[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _ln_rows(x, w_ref, b_ref):
+    """f32 LayerNorm over the trailing axis (fused_block._ln_f32, local
+    copy to avoid a circular import)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+    return y * w_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                             "block_b"))
+def _pallas_ln_qkv_attention(x, ln_w, ln_b, w_qkv, qkv_bias, bias, mask,
+                             scale: float, num_heads: int, block_b: int = 8):
+    """LN + qkv projection + fused attention over (B, Np, C) x →
+    context (B, Np, C), with qkv never materialized in HBM (~2 × B·Np·3C
+    bytes of traffic per layer removed vs the ln_linear → packed pair).
+    Requires Np % 16 == 0, head_dim 64, C % 128 == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Np, C = x.shape
+    H2 = num_heads // 2
+    pad_b = (-B) % block_b
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_b), (0, 0)))
+    Bp = B + pad_b
+    mask = mask[:, None, :]
+    w3 = w_qkv.astype(x.dtype).reshape(3 * C // 128, 128, C)
+    b3 = qkv_bias.astype(jnp.float32).reshape(3 * C // 128, 1, 128)
+
+    def const(c):
+        nd = c.ndim
+        return pl.BlockSpec(c.shape, lambda b, j, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    grid = (Bp // block_b, H2)
+    out = pl.pallas_call(
+        functools.partial(_ln_qkv_attn_kernel, scale=scale, h2=H2),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, Np, C), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(ln_w), const(ln_b), const(w3), const(b3),
+            const(bias),
+            pl.BlockSpec((block_b, 1, Np), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, Np, 128), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_b, Np, C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            # per cell: 3 column projections + 2 heads of attention
+            flops=6 * block_b * Np * C * 128 + 8 * block_b * Np * Np * 64,
+            transcendentals=2 * block_b * Np * Np,
+            bytes_accessed=block_b * Np * (C + 128) * 2 + 2 * Np * Np * 4),
+        interpret=_INTERPRET,
+    )(x, ln_w, ln_b, w3, b3, bias, mask)
+    if pad_b:
+        out = out[:B]
+    return out
+
+
+def ln_qkv_attention(x, ln_w, ln_b, w_qkv, qkv_bias, bias, mask,
+                     scale: float, num_heads: int, *,
+                     use_pallas: bool = False):
+    """Dispatcher: the single-kernel LN+qkv+attention fusion when
+    eligible and enabled (``VLM_TPU_FUSE_LN_QKV_ATTN=1``; default OFF
+    until measured on-chip), else the measured ln_linear →
+    packed_fused_attention pair (bit-identical numerics)."""
+    B, Np, C = x.shape
+    head_dim = C // num_heads
+    ok = (use_pallas and _FUSE_LN_QKV_ATTN
+          and (jax.default_backend() == "tpu" or _INTERPRET)
+          and bias is not None and mask is not None
+          and C % 128 == 0 and num_heads % 2 == 0 and head_dim == 64
+          and Np % 16 == 0 and 256 <= Np <= 640
+          and w_qkv.shape == (3 * C, C))
+    if not ok:
+        from .fused_block import ln_linear
+
+        qkv = ln_linear(x, ln_w, ln_b, w_qkv, qkv_bias,
+                        use_pallas=use_pallas)
+        return packed_fused_attention(qkv, bias, mask, scale, num_heads)
+    bb = 8 if B % 8 == 0 else (4 if B % 4 == 0 else
+                               (2 if B % 2 == 0 else 1))
+    return _pallas_ln_qkv_attention(
+        x, ln_w, ln_b, w_qkv, qkv_bias, bias.astype(jnp.float32),
+        mask.astype(jnp.int32), scale, num_heads, block_b=bb)
 
 
 def _packed_bwd_kernel(qkv_q, qkv_k, qkv_v, bias_ref, mask_ref, g_ref,
