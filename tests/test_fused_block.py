@@ -95,6 +95,57 @@ def test_proj_mlp_tail_escape_hatch_routes_to_pair(interpret_kernels,
                                atol=2e-5, rtol=2e-5)
 
 
+def test_fused_eval_block_megakernel_bit_equals_staged(interpret_kernels,
+                                                       monkeypatch):
+    """The whole-block megakernel (fused_eval_block's single-kernel path,
+    VLM_TPU_FUSE_EVAL_BLOCK=1) vs the staged ln_qkv_attention →
+    proj_mlp_tail pipeline: bit-equal in bf16 (identical rounding points)
+    and within tolerance of the pure-XLA composition."""
+    from vl_merging_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    rng = np.random.RandomState(7)
+    B, H, Np, valid_n = 2, 2, 272, 260
+    C, H1 = 64 * H, 512
+    scale = 64 ** -0.5
+
+    def t(shape, s=0.5, dtype=jnp.bfloat16):
+        return jnp.asarray((rng.randn(*shape) * s).astype(np.float32)) \
+            .astype(dtype)
+
+    x = t((B, Np, C), 1.0)
+    ln1w, ln1b = t((C,), 1.0, jnp.float32), t((C,), 0.05, jnp.float32)
+    wqkv = t((3 * C, C), 0.05)
+    qkvb = t((3 * C,), 0.05, jnp.float32)
+    bias = t((H, Np, Np), 0.5, jnp.float32)
+    mask = np.ones((B, Np), np.int32)
+    mask[:, valid_n:] = 0
+    mask = jnp.asarray(mask)
+    wp, bp = t((C, C), 0.05), t((C,), 0.05, jnp.float32)
+    g1, g2 = t((C,), 0.1, jnp.float32), t((C,), 0.1, jnp.float32)
+    ln2w, ln2b = t((C,), 1.0, jnp.float32), t((C,), 0.05, jnp.float32)
+    w1, b1 = t((H1, C), 0.05), t((H1,), 0.05, jnp.float32)
+    w2, b2 = t((C, H1), 0.05), t((C,), 0.05, jnp.float32)
+    args = (x, ln1w, ln1b, wqkv, qkvb, bias, mask, scale, H,
+            wp, bp, g1, ln2w, ln2b, w1, b1, w2, b2, g2)
+
+    monkeypatch.setattr(F, "_FUSE_EVAL_BLOCK", True)
+    mega = F.fused_eval_block(*args, use_pallas=True)
+    monkeypatch.setattr(F, "_FUSE_EVAL_BLOCK", False)
+    monkeypatch.setattr(A, "_FUSE_LN_QKV_ATTN", True)
+    staged = F.fused_eval_block(*args, use_pallas=True)
+    monkeypatch.setattr(A, "_FUSE_LN_QKV_ATTN", False)
+    split = F.fused_eval_block(*args, use_pallas=True)
+    a = np.asarray(mega, np.float32)[:, :valid_n]
+    assert (a == np.asarray(staged, np.float32)[:, :valid_n]).all()
+    assert (a == np.asarray(split, np.float32)[:, :valid_n]).all()
+
+    xla = F.fused_eval_block(*args, use_pallas=False)
+    np.testing.assert_allclose(
+        a, np.asarray(xla, np.float32)[:, :valid_n], atol=0.05, rtol=0.05)
+
+
 def test_proj_mlp_tail_interpret_matches_split_pair(interpret_kernels):
     """The one-kernel post-attention half == linear_residual → mlp_tail,
     including the bf16 rounding of the intermediate x'."""

@@ -33,8 +33,7 @@ run() {  # run <name> <cmd...>
 }
 
 run proj_mlp_parity python tools/proj_mlp_probe.py parity
-run proj_mlp_tower  python tools/proj_mlp_probe.py tower
-run qkv_attn_probe  python tools/qkv_attn_probe.py
+run block_fusion    python tools/block_fusion_probe.py
 run bench1          python bench.py
 run bench2          python bench.py
 echo "$(date +%s) harvest done" >> "$OUT/harvest.log"

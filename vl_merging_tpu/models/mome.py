@@ -227,8 +227,7 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     intermediate never touches HBM).  Returns None when any stage needs
     the split/expert-pair routing, a gram tap is active, training wants
     drop-path RNG, or the Pallas shapes don't apply."""
-    from ..ops.attention import ln_qkv_attention
-    from ..ops.fused_block import proj_mlp_tail
+    from ..ops.fused_block import fused_eval_block
     from .taps import _ACTIVE_TAP
 
     N = x.shape[1]
@@ -254,17 +253,19 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     qkv_bias = jnp.concatenate(
         [q_bias, jnp.zeros_like(q_bias), params[f"{ap}.v_bias"]])
     scale = (spec.hidden_size // spec.num_heads) ** -0.5
-    # single-kernel LN+qkv+attention when VLM_TPU_FUSE_LN_QKV_ATTN=1,
-    # else the measured ln_linear -> packed-attention pair (bit-identical)
-    ctx = ln_qkv_attention(x, params[f"{n1}.weight"], params[f"{n1}.bias"],
-                           params[f"{ap}.qkv.weight"], qkv_bias, rel_bias,
-                           mask, scale, spec.num_heads, use_pallas=True)
-    return proj_mlp_tail(ctx, params[f"{ap}.proj.weight"],
-                         params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
-                         x, params[f"{n2}.weight"], params[f"{n2}.bias"],
-                         params[f"{mp}.fc1.weight"], params[f"{mp}.fc1.bias"],
-                         params[f"{mp}.fc2.weight"], params[f"{mp}.fc2.bias"],
-                         params[f"{p}.gamma_2"], use_pallas=True)
+    # One entry for the whole block; routes by env gate (bit-identical
+    # everywhere): VLM_TPU_FUSE_EVAL_BLOCK=1 -> single megakernel,
+    # VLM_TPU_FUSE_LN_QKV_ATTN=1 -> LN+qkv folded into attention, default
+    # -> the measured ln_linear -> packed attention -> proj_mlp_tail.
+    return fused_eval_block(
+        x, params[f"{n1}.weight"], params[f"{n1}.bias"],
+        params[f"{ap}.qkv.weight"], qkv_bias, rel_bias, mask, scale,
+        spec.num_heads, params[f"{ap}.proj.weight"],
+        params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
+        params[f"{n2}.weight"], params[f"{n2}.bias"],
+        params[f"{mp}.fc1.weight"], params[f"{mp}.fc1.bias"],
+        params[f"{mp}.fc2.weight"], params[f"{mp}.fc2.bias"],
+        params[f"{p}.gamma_2"], use_pallas=True)
 
 
 def block_forward(

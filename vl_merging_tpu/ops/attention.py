@@ -32,7 +32,7 @@ _INTERPRET = False  # tests flip this to run the packed kernels off-TPU
 
 # The single-kernel LN+qkv+attention fusion (ln_qkv_attention): interpret-
 # parity-pinned but NOT yet measured on-chip, so default OFF; flip with
-# VLM_TPU_FUSE_LN_QKV_ATTN=1 (tools/qkv_attn_probe.py measures it).
+# VLM_TPU_FUSE_LN_QKV_ATTN=1 (tools/block_fusion_probe.py measures it).
 _FUSE_LN_QKV_ATTN = os.environ.get("VLM_TPU_FUSE_LN_QKV_ATTN", "0") == "1"
 
 

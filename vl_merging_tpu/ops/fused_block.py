@@ -44,6 +44,12 @@ _INTERPRET = False  # tests flip this to run the kernels off-TPU
 # trades the intermediate's HBM round-trip back for compile-path safety.
 _FUSE_WHOLE_TAIL = os.environ.get("VLM_TPU_FUSE_PROJ_MLP", "1") != "0"
 
+# The whole-BLOCK megakernel (fused_eval_block's single-kernel path:
+# LN+qkv+attention+proj+MLP, per-layer HBM traffic = x-read + out-write
+# only).  Interpret-parity-pinned but NOT yet measured on-chip → default
+# OFF; flip with VLM_TPU_FUSE_EVAL_BLOCK=1 (tools/block_fusion_probe.py).
+_FUSE_EVAL_BLOCK = os.environ.get("VLM_TPU_FUSE_EVAL_BLOCK", "0") == "1"
+
 
 def _ln_f32(x, w_ref, b_ref):
     x32 = x.astype(jnp.float32)
@@ -230,3 +236,170 @@ def proj_mlp_tail(ctx, wp, bp, gamma1, res, ln_w, ln_b, w1, b1, w2, b2,
                      gamma2),
                     C, extra_row_inputs=(res.reshape(B * N, C),))
     return out.reshape(B, N, C)
+
+
+# --------------------------------------------------------------------------
+# Whole-block megakernel: LN1+qkv+attention+proj+LN2+MLP in ONE kernel
+# --------------------------------------------------------------------------
+
+def _block_eval_kernel(x_ref, ln1w_ref, ln1b_ref, w3_ref, b3_ref, bias_ref,
+                       mask_ref, wp_ref, bp_ref, g1_ref, ln2w_ref, ln2b_ref,
+                       w1_ref, b1_ref, w2_ref, b2_ref, g2_ref,
+                       o_ref, xn_ref, ctx_ref, *, scale: float, h2: int):
+    """One batch-block cell computing an ENTIRE eval transformer block.
+
+    Grid is (B/bb,): per cell, LN1(x) lands in the ``xn_ref`` scratch,
+    a static loop over head pairs projects each pair's own 128 qkv
+    columns from it (no FLOP duplication) and writes fused attention
+    into the ``ctx_ref`` scratch, then the post-attention half
+    (proj+LayerScale+residual+LN2+MLP+LayerScale+residual) runs per
+    batch element.  The only HBM traffic per layer is the x read and
+    the output write — qkv, ctx, x', and the MLP hidden all live and
+    die in VMEM.  Rounding points are bit-identical to the
+    ln_qkv_attention → proj_mlp_tail pipeline (and hence to the fully
+    split kernels): qkv slices, ctx, x', and the fc1 output are rounded
+    to the block dtype exactly where the split kernels store them."""
+    x = x_ref[...]
+    xn_ref[...] = _ln_f32(x, ln1w_ref, ln1b_ref).astype(x.dtype)
+    xn = xn_ref[...]
+    valid = mask_ref[:, 0] > 0                             # bb, Np
+
+    def proj_cols(idx):
+        y = jax.lax.dot_general(
+            xn, w3_ref[idx], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # bb, Np, 128
+        return (y + b3_ref[idx].astype(jnp.float32)).astype(x.dtype)
+
+    for j in range(h2):                                    # static unroll
+        q3, k3, v3 = proj_cols(j), proj_cols(h2 + j), proj_cols(2 * h2 + j)
+        for h in (0, 1):
+            sl = slice(h * 64, (h + 1) * 64)
+            q = q3[:, :, sl] * jnp.asarray(scale, q3.dtype)
+            s = jax.lax.dot_general(
+                q, k3[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # bb, Np, Np
+            s = s + bias_ref[2 * j + h][None]
+            s = jnp.where(valid[:, None, :], s,
+                          jnp.asarray(-jnp.inf, jnp.float32))
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot_general(
+                p.astype(v3.dtype), v3[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            ctx_ref[:, :, j * 128 + h * 64:j * 128 + (h + 1) * 64] = \
+                o.astype(ctx_ref.dtype)
+
+    bb = x.shape[0]
+    for i in range(bb):                                    # static unroll
+        y = jax.lax.dot_general(
+            ctx_ref[i], wp_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # Np, C
+        y = (y + bp_ref[...].astype(jnp.float32)) * g1_ref[...].astype(
+            jnp.float32)
+        x1 = (x_ref[i].astype(jnp.float32) + y).astype(x.dtype)
+        xn2 = _ln_f32(x1, ln2w_ref, ln2b_ref).astype(x.dtype)
+        hid = jax.lax.dot_general(
+            xn2, w1_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # Np, 4C
+        hid = _erf_gelu(hid + b1_ref[...].astype(jnp.float32))
+        y2 = jax.lax.dot_general(
+            hid.astype(x.dtype), w2_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y2 = (y2 + b2_ref[...].astype(jnp.float32)) * g2_ref[...].astype(
+            jnp.float32)
+        o_ref[i] = (x1.astype(jnp.float32) + y2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads",
+                                             "block_b"))
+def _pallas_block_eval(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask,
+                       wp, bp, gamma1, ln2_w, ln2_b, w1, b1, w2, b2,
+                       gamma2, scale: float, num_heads: int,
+                       block_b: int = 4):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Np, C = x.shape
+    H2 = num_heads // 2
+    H1 = w1.shape[0]
+    pad_b = (-B) % block_b
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_b), (0, 0)))
+    Bp = B + pad_b
+    mask = mask[:, None, :]
+    w3 = w_qkv.astype(x.dtype).reshape(3 * C // 128, 128, C)
+    b3 = qkv_bias.astype(jnp.float32).reshape(3 * C // 128, 1, 128)
+
+    def const(c):
+        nd = c.ndim
+        return pl.BlockSpec(c.shape, lambda b, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    row = lambda shp: pl.BlockSpec(shp, lambda b: (b, 0, 0),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    consts = (ln1_w, ln1_b, w3, b3, bias,)
+    consts2 = (wp.astype(x.dtype), bp, gamma1, ln2_w, ln2_b,
+               w1.astype(x.dtype), b1, w2.astype(x.dtype), b2, gamma2)
+    out = pl.pallas_call(
+        functools.partial(_block_eval_kernel, scale=scale, h2=H2),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, C), x.dtype),
+        grid=(Bp // block_b,),
+        in_specs=[row((block_b, Np, C))]
+                 + [const(c) for c in consts]
+                 + [pl.BlockSpec((block_b, 1, Np), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                 + [const(c) for c in consts2],
+        out_specs=row((block_b, Np, C)),
+        scratch_shapes=[pltpu.VMEM((block_b, Np, C), x.dtype),
+                        pltpu.VMEM((block_b, Np, C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * block_b * Np * C * (3 * C + C + 2 * H1)
+            + 8 * block_b * Np * Np * (C // 128) * 64,
+            transcendentals=block_b * Np * (Np * (C // 128) + H1),
+            bytes_accessed=2 * block_b * Np * C * 2),
+        interpret=_INTERPRET,
+    )(x, *consts, mask, *consts2)
+    if pad_b:
+        out = out[:B]
+    return out
+
+
+def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
+                     num_heads, wp, bp, gamma1, ln2_w, ln2_b, w1, b1, w2,
+                     b2, gamma2, *, use_pallas: bool = False):
+    """One whole eval transformer block.  Routes to the single megakernel
+    when ``VLM_TPU_FUSE_EVAL_BLOCK=1`` and the shapes fit, else to the
+    staged pipeline (ln_qkv_attention → proj_mlp_tail), all three
+    bit-identical."""
+    from .attention import ln_qkv_attention
+
+    B, Np, C = x.shape
+    head_dim = C // num_heads
+    H1 = w1.shape[0]
+    # VMEM: 2 scratches + x + out (double-buffered) + logits tile + one
+    # (Np, H1) f32 hidden + bias + weights must fit
+    bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    vmem_est = (6 * bb * Np * C * 2 + bb * Np * Np * 4 + Np * H1 * 4
+                + num_heads * Np * Np * 4
+                + (3 * C * C + C * C + 2 * H1 * C) * 2)
+    ok = (use_pallas and _FUSE_EVAL_BLOCK
+          and (jax.default_backend() == "tpu" or _INTERPRET)
+          and bias is not None and mask is not None
+          and C % 128 == 0 and num_heads % 2 == 0 and head_dim == 64
+          and Np % 16 == 0 and 256 <= Np <= 640
+          and w_qkv.shape == (3 * C, C) and H1 % 128 == 0
+          and vmem_est < 100 * 1024 * 1024)
+    if not ok:
+        ctx = ln_qkv_attention(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias,
+                               mask, scale, num_heads,
+                               use_pallas=use_pallas)
+        return proj_mlp_tail(ctx, wp, bp, gamma1, x, ln2_w, ln2_b, w1, b1,
+                             w2, b2, gamma2, use_pallas=use_pallas)
+    return _pallas_block_eval(
+        x, ln1_w, ln1_b, w_qkv, qkv_bias, bias.astype(jnp.float32),
+        mask.astype(jnp.int32), wp, bp, gamma1, ln2_w, ln2_b, w1, b1,
+        w2, b2, gamma2, scale, num_heads, block_b=bb)
