@@ -139,8 +139,14 @@ def tower(variants=("split", "qkv", "mega")):
 
 
 if __name__ == "__main__":
+    # args: "parity", "tower" (all variants), or "tower:mega,qkv" for a
+    # subset — combine with VLM_TPU_EVAL_BLOCK_BB to sweep the mega block
+    # size without recompiling the other variants
     which = sys.argv[1:] or ["parity", "tower"]
     if "parity" in which:
         parity()
-    if "tower" in which:
-        tower()
+    for a in which:
+        if a == "tower":
+            tower()
+        elif a.startswith("tower:"):
+            tower(tuple(a.split(":", 1)[1].split(",")))

@@ -382,7 +382,11 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
     H1 = w1.shape[0]
     # VMEM: 2 scratches + x + out (double-buffered) + logits tile + one
     # (Np, H1) f32 hidden + bias + weights must fit
-    bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    # (VLM_TPU_EVAL_BLOCK_BB lets the probe sweep the block size)
+    bb = int(os.environ.get("VLM_TPU_EVAL_BLOCK_BB", "0")) or \
+        (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
+    if B % bb:
+        bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
     vmem_est = (6 * bb * Np * C * 2 + bb * Np * Np * 4 + Np * H1 * 4
                 + num_heads * Np * Np * 4
                 + (3 * C * C + C * C + 2 * H1 * C) * 2)
