@@ -194,3 +194,110 @@ def test_random_resized_crop_matches_torchvision():
             torch.zeros(3, 300, 400), scale=(0.5, 1.0),
             ratio=(3 / 4, 4 / 3))
         assert 0 <= j <= 400 - w and 0 <= i <= 300 - h
+
+
+# --------------------------------------------------------------------------
+# Legacy ViLT/pixelbert pipeline (reference transforms/pixelbert.py +
+# randaug.py + utils.py:MinMaxResize) — executed-reference oracles
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_legacy_randaug():
+    """Load the reference's LEGACY randaug module (randaug.py — a
+    different module than randaugment.py) by file path; it imports only
+    PIL/numpy/torch."""
+    import importlib.util
+
+    path = os.path.join(REF_DIR, "vilt", "transforms", "randaug.py")
+    spec = importlib.util.spec_from_file_location("_ref_randaug", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_min_max_resize():
+    """ast-extract MinMaxResize from utils.py (the module itself imports
+    torchvision, which this image lacks) and execute the actual class."""
+    import ast
+
+    path = os.path.join(REF_DIR, "vilt", "transforms", "utils.py")
+    tree = ast.parse(open(path).read())
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "MinMaxResize")
+    ns = {"Image": Image}
+    exec(compile(ast.Module([cls], []), path, "exec"), ns)
+    return ns["MinMaxResize"]
+
+
+def test_min_max_resize_matches_executed_reference(ref_min_max_resize,
+                                                   img_np):
+    from vl_merging_tpu.data.transforms import min_max_resize
+
+    img = Image.fromarray(img_np)
+    for shorter, longer in ((32, 53), (64, 106), (48, 80)):
+        ref = ref_min_max_resize(shorter=shorter, longer=longer)(img)
+        got = min_max_resize(img, shorter, longer)
+        assert got.size == ref.size
+        assert (np.asarray(got) == np.asarray(ref)).all()
+    # tall image exercises the h >= w branch + the longer-side cap
+    # (longer must stay >= 2×32/aspect or the reference itself snaps the
+    # short side to 0 and crashes — not a case to pin)
+    tall = img.resize((40, 160), resample=Image.BICUBIC)
+    ref = ref_min_max_resize(shorter=64, longer=128)(tall)
+    got = min_max_resize(tall, 64, 128)
+    assert got.size == ref.size and (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_pixelbert_transform_matches_reference_composition(
+        ref_min_max_resize, img_np):
+    """pixelbert_transform == MinMaxResize → ToTensor → inception
+    normalize (pixelbert.py:9-17), with longer = int(1333/800 * size)."""
+    from vl_merging_tpu.data.transforms import PixelbertTransform
+
+    img = Image.fromarray(img_np)
+    size = 32
+    ref_img = ref_min_max_resize(shorter=size,
+                                 longer=int((1333 / 800) * size))(img)
+    want = (np.asarray(ref_img, np.float32).transpose(2, 0, 1) / 255.0
+            - 0.5) / 0.5
+    got = PixelbertTransform(size=size)(img)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_legacy_randaug_seeded_parity_with_executed_reference(
+        ref_legacy_randaug, img_np, monkeypatch):
+    """LegacyRandAugment(2, 9) byte-equals the EXECUTED reference
+    RandAugment under a shared random seed: same augment_list order, same
+    random.choices draw, same per-op sign draws, same PIL calls.  Seeds
+    are chosen to cover every op family (incl. SolarizeAdd, whose np.int
+    predates numpy 1.24 — patched to the int it aliased)."""
+    from vl_merging_tpu.data.transforms import LegacyRandAugment
+
+    monkeypatch.setattr(ref_legacy_randaug.np, "int", int, raising=False)
+    img = Image.fromarray(img_np)
+    ref_ra = ref_legacy_randaug.RandAugment(2, 9)
+    ours = LegacyRandAugment(2, 9)
+    assert len(ref_legacy_randaug.augment_list()) == 14
+    for seed in range(40):
+        random.seed(seed)
+        want = ref_ra(img)
+        random.seed(seed)
+        got = ours(img)
+        assert (np.asarray(got) == np.asarray(want)).all(), f"seed {seed}"
+
+
+def test_pixelbert_keys_registered():
+    from vl_merging_tpu.data.transforms import keys_to_transforms
+
+    pb, pbr = keys_to_transforms(["pixelbert", "pixelbert_randaug"],
+                                 size=32)
+    rng = np.random.RandomState(3)
+    img = Image.fromarray((rng.rand(40, 56, 3) * 255).astype(np.uint8))
+    out = pb(img)
+    assert out.ndim == 3 and out.shape[0] == 3
+    assert out.shape[1] % 32 == 0 and out.shape[2] % 32 == 0
+    random.seed(0)
+    out2 = pbr(img)
+    assert out2.ndim == 3 and out2.shape[0] == 3

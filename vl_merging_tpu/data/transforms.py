@@ -240,7 +240,133 @@ class SquareTransformRandaugMim(_TwoPicBase):
         return self.finish(*self.crop_two(img))
 
 
+# --------------------------------------------------------------------------
+# Legacy ViLT/pixelbert pipeline (vestigial in the reference — SURVEY §2.12:
+# no current named config uses it; ported for inventory completeness.
+# Variable-resolution outputs are consumed by the dynamic-patch path,
+# models/distilled.py)
+# --------------------------------------------------------------------------
+
+def min_max_resize(img: Image.Image, shorter: int = 800,
+                   longer: int = 1333) -> Image.Image:
+    """Reference transforms/utils.py:MinMaxResize (:5-26): scale the short
+    side to ``shorter``, cap the long side at ``longer``, snap both down
+    to multiples of 32, bicubic."""
+    w, h = img.size
+    scale = shorter / min(w, h)
+    if h < w:
+        newh, neww = shorter, scale * w
+    else:
+        newh, neww = scale * h, shorter
+    if max(newh, neww) > longer:
+        scale = longer / max(newh, neww)
+        newh, neww = newh * scale, neww * scale
+    newh, neww = int(newh + 0.5), int(neww + 0.5)
+    newh, neww = newh // 32 * 32, neww // 32 * 32
+    return img.resize((neww, newh), resample=Image.BICUBIC)
+
+
+def _flip_sign(v: float) -> float:
+    # the legacy ops draw ONE uniform for the sign (randaug.py:13-60);
+    # call order matters for seeded parity with the executed reference
+    return -v if random.random() > 0.5 else v
+
+
+def _lr_shear_x(img, v):
+    return img.transform(img.size, Image.AFFINE,
+                         (1, _flip_sign(v), 0, 0, 1, 0))
+
+
+def _lr_shear_y(img, v):
+    return img.transform(img.size, Image.AFFINE,
+                         (1, 0, 0, _flip_sign(v), 1, 0))
+
+
+def _lr_translate_x_abs(img, v):
+    return img.transform(img.size, Image.AFFINE,
+                         (1, 0, _flip_sign(v), 0, 1, 0))
+
+
+def _lr_translate_y_abs(img, v):
+    return img.transform(img.size, Image.AFFINE,
+                         (1, 0, 0, 0, 1, _flip_sign(v)))
+
+
+def _lr_rotate(img, v):
+    return img.rotate(_flip_sign(v))
+
+
+def _lr_solarize_add(img, addition, threshold=128):
+    # reference randaug.py:83-90 (its np.int predates numpy 1.24; int64
+    # on linux — the math is exact either way after the clip)
+    arr = np.clip(np.asarray(img).astype(np.int64) + addition,
+                  0, 255).astype(np.uint8)
+    return ImageOps.solarize(Image.fromarray(arr), threshold)
+
+
+# (op, minval, maxval) — EXACTLY the reference's augment_list()
+# (randaug.py:183-201, the active efficientnet-policy list), same order so
+# seeded random.choices picks the same ops
+_LEGACY_AUGS = [
+    (lambda img, v: ImageOps.autocontrast(img), 0, 1),
+    (lambda img, v: ImageOps.equalize(img), 0, 1),
+    (_lr_rotate, 0, 30),
+    (lambda img, v: ImageOps.posterize(img, max(1, int(v))), 0, 4),
+    (lambda img, v: ImageOps.solarize(img, v), 0, 256),
+    (_lr_solarize_add, 0, 110),
+    (lambda img, v: ImageEnhance.Color(img).enhance(v), 0.1, 1.9),
+    (lambda img, v: ImageEnhance.Contrast(img).enhance(v), 0.1, 1.9),
+    (lambda img, v: ImageEnhance.Brightness(img).enhance(v), 0.1, 1.9),
+    (lambda img, v: ImageEnhance.Sharpness(img).enhance(v), 0.1, 1.9),
+    (_lr_shear_x, 0.0, 0.3),
+    (_lr_shear_y, 0.0, 0.3),
+    (_lr_translate_x_abs, 0.0, 100),
+    (_lr_translate_y_abs, 0.0, 100),
+]
+
+
+class LegacyRandAugment:
+    """reference transforms/randaug.py:RandAugment (:257-269): n uniform
+    op choices, magnitude mapped as m/30 of each op's range."""
+
+    def __init__(self, n: int = 2, m: int = 9):
+        self.n, self.m = n, m
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        ops = random.choices(_LEGACY_AUGS, k=self.n)
+        for op, minval, maxval in ops:
+            val = (float(self.m) / 30) * float(maxval - minval) + minval
+            img = op(img, val)
+        return img
+
+
+class PixelbertTransform:
+    """reference transforms/pixelbert.py:pixelbert_transform (:9-17)."""
+
+    def __init__(self, size: int = 800):
+        self.shorter = size
+        self.longer = int((1333 / 800) * size)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = min_max_resize(img, self.shorter, self.longer)
+        return inception_normalize(to_chw_float(img))
+
+
+class PixelbertTransformRandaug(PixelbertTransform):
+    """pixelbert_transform_randaug (:20-30): RandAugment(2, 9) FIRST
+    (inserted at index 0), then the deterministic tail."""
+
+    def __init__(self, size: int = 800):
+        super().__init__(size)
+        self.randaug = LegacyRandAugment(2, 9)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        return super().__call__(self.randaug(img))
+
+
 _TRANSFORMS = {
+    "pixelbert": PixelbertTransform,
+    "pixelbert_randaug": PixelbertTransformRandaug,
     "square_transform": SquareTransform,
     "square_transform_randaug": SquareTransformRandaug,
 }
