@@ -297,11 +297,13 @@ def main() -> None:
         # lose the round's bench.  Retried lines may duplicate earlier
         # output; the driver records the LAST line.
         if not (fused_block._FUSE_WHOLE_TAIL
+                or fused_block._FUSE_EVAL_BLOCK
                 or attention._FUSE_LN_QKV_ATTN):
             raise
-        print(f"bench.py: retrying with the whole-tail/qkv-attn fusions "
-              f"disabled after: {exc!r}", file=sys.stderr)
+        print(f"bench.py: retrying with the block/whole-tail/qkv-attn "
+              f"fusions disabled after: {exc!r}", file=sys.stderr)
         fused_block._FUSE_WHOLE_TAIL = False
+        fused_block._FUSE_EVAL_BLOCK = False
         attention._FUSE_LN_QKV_ATTN = False
         _main_impl()
 

@@ -328,52 +328,18 @@ def _ln_qkv_attn_kernel(x_ref, lnw_ref, lnb_ref, w3_ref, b3_ref, bias_ref,
     exactly where the split pipeline stores them to HBM."""
     from jax.experimental import pallas as pl
 
+    from .fused_block import _ln_f32, _qkv_pair_ctx
+
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _ln():
-        xn_ref[...] = _ln_rows(x_ref[...], lnw_ref, lnb_ref) \
+        xn_ref[...] = _ln_f32(x_ref[...], lnw_ref, lnb_ref) \
             .astype(x_ref.dtype)
 
-    xn = xn_ref[...]
-
-    def proj(idx):
-        y = jax.lax.dot_general(
-            xn, w3_ref[idx], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # bb, Np, 128
-        # b3 is (3C/128, 1, 128): the dynamically-indexed dim stays
-        # untiled (leading dims of ≥3-D arrays), unlike a (3C/128, 128)
-        # layout whose row index would hit the sublane-alignment rule
-        return (y + b3_ref[idx].astype(jnp.float32)).astype(x_ref.dtype)
-
-    q3, k3, v3 = proj(j), proj(h2 + j), proj(2 * h2 + j)
     valid = mask_ref[:, 0] > 0                             # bb, Np
-    for h in (0, 1):
-        sl = slice(h * 64, (h + 1) * 64)
-        q = q3[:, :, sl] * jnp.asarray(scale, q3.dtype)
-        s = jax.lax.dot_general(
-            q, k3[:, :, sl],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # bb, Np, Np
-        s = s + bias_ref[2 * j + h][None]
-        s = jnp.where(valid[:, None, :], s,
-                      jnp.asarray(-jnp.inf, jnp.float32))
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(v3.dtype), v3[:, :, sl],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[:, :, sl] = o.astype(o_ref.dtype)
-
-
-def _ln_rows(x, w_ref, b_ref):
-    """f32 LayerNorm over the trailing axis (fused_block._ln_f32, local
-    copy to avoid a circular import)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
-    return y * w_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = _qkv_pair_ctx(xn_ref[...], x_ref.dtype, w3_ref, b3_ref,
+                               bias_ref, valid, j, h2, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads",

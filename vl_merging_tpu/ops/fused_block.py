@@ -242,6 +242,45 @@ def proj_mlp_tail(ctx, wp, bp, gamma1, res, ln_w, ln_b, w1, b1, w2, b2,
 # Whole-block megakernel: LN1+qkv+attention+proj+LN2+MLP in ONE kernel
 # --------------------------------------------------------------------------
 
+def _qkv_pair_ctx(xn, x_dtype, w3_ref, b3_ref, bias_ref, valid, j, h2,
+                  scale):
+    """Head-pair context band (bb, Np, 128) from VMEM-resident LN(x):
+    project the pair's own 128 qkv columns (w3 is the qkv weight reshaped
+    (3C/128, 128, C); b3 (3C/128, 1, 128) keeps the dynamically-indexed
+    dim untiled) and run fused f32-logit attention.  SHARED by the staged
+    LN+qkv+attention kernel (attention._ln_qkv_attn_kernel) and the
+    whole-block megakernel — the rounding points here ARE the
+    bit-equality contract between them and the split pipeline: qkv slices
+    round to the block dtype exactly where ln_linear stores them to HBM,
+    q scales in that dtype, logits/bias/mask/softmax are f32, and the
+    context rounds like the packed kernel's output."""
+    def proj(idx):
+        y = jax.lax.dot_general(
+            xn, w3_ref[idx], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # bb, Np, 128
+        return (y + b3_ref[idx].astype(jnp.float32)).astype(x_dtype)
+
+    q3, k3, v3 = proj(j), proj(h2 + j), proj(2 * h2 + j)
+    outs = []
+    for h in (0, 1):
+        sl = slice(h * 64, (h + 1) * 64)
+        q = q3[:, :, sl] * jnp.asarray(scale, q3.dtype)
+        s = jax.lax.dot_general(
+            q, k3[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # bb, Np, Np
+        s = s + bias_ref[2 * j + h][None]
+        s = jnp.where(valid[:, None, :], s,
+                      jnp.asarray(-jnp.inf, jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v3.dtype), v3[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o.astype(x_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _block_eval_kernel(x_ref, ln1w_ref, ln1b_ref, w3_ref, b3_ref, bias_ref,
                        mask_ref, wp_ref, bp_ref, g1_ref, ln2w_ref, ln2b_ref,
                        w1_ref, b1_ref, w2_ref, b2_ref, g2_ref,
@@ -264,31 +303,9 @@ def _block_eval_kernel(x_ref, ln1w_ref, ln1b_ref, w3_ref, b3_ref, bias_ref,
     xn = xn_ref[...]
     valid = mask_ref[:, 0] > 0                             # bb, Np
 
-    def proj_cols(idx):
-        y = jax.lax.dot_general(
-            xn, w3_ref[idx], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # bb, Np, 128
-        return (y + b3_ref[idx].astype(jnp.float32)).astype(x.dtype)
-
     for j in range(h2):                                    # static unroll
-        q3, k3, v3 = proj_cols(j), proj_cols(h2 + j), proj_cols(2 * h2 + j)
-        for h in (0, 1):
-            sl = slice(h * 64, (h + 1) * 64)
-            q = q3[:, :, sl] * jnp.asarray(scale, q3.dtype)
-            s = jax.lax.dot_general(
-                q, k3[:, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)        # bb, Np, Np
-            s = s + bias_ref[2 * j + h][None]
-            s = jnp.where(valid[:, None, :], s,
-                          jnp.asarray(-jnp.inf, jnp.float32))
-            p = jax.nn.softmax(s, axis=-1)
-            o = jax.lax.dot_general(
-                p.astype(v3.dtype), v3[:, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            ctx_ref[:, :, j * 128 + h * 64:j * 128 + (h + 1) * 64] = \
-                o.astype(ctx_ref.dtype)
+        ctx_ref[:, :, j * 128:(j + 1) * 128] = _qkv_pair_ctx(
+            xn, x.dtype, w3_ref, b3_ref, bias_ref, valid, j, h2, scale)
 
     bb = x.shape[0]
     for i in range(bb):                                    # static unroll
@@ -382,11 +399,18 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
     H1 = w1.shape[0]
     # VMEM: 2 scratches + x + out (double-buffered) + logits tile + one
     # (Np, H1) f32 hidden + bias + weights must fit
-    # (VLM_TPU_EVAL_BLOCK_BB lets the probe sweep the block size)
-    bb = int(os.environ.get("VLM_TPU_EVAL_BLOCK_BB", "0")) or \
-        (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
-    if B % bb:
-        bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    # (VLM_TPU_EVAL_BLOCK_BB lets the probe sweep the block size; an
+    # unusable override raises instead of silently rerouting — a probe
+    # labeling staged-pipeline timings as "mega bb=N" would corrupt the
+    # perf record)
+    bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    bb_env = os.environ.get("VLM_TPU_EVAL_BLOCK_BB", "")
+    if _FUSE_EVAL_BLOCK and bb_env:
+        if not bb_env.isdigit() or B % int(bb_env):
+            raise ValueError(
+                f"VLM_TPU_EVAL_BLOCK_BB={bb_env!r} unusable: batch {B} "
+                f"must be divisible by it")
+        bb = int(bb_env)
     vmem_est = (6 * bb * Np * C * 2 + bb * Np * Np * 4 + Np * H1 * 4
                 + num_heads * Np * Np * 4
                 + (3 * C * C + C * C + 2 * H1 * C) * 2)
@@ -397,6 +421,11 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
           and Np % 16 == 0 and 256 <= Np <= 640
           and w_qkv.shape == (3 * C, C) and H1 % 128 == 0
           and vmem_est < 100 * 1024 * 1024)
+    if _FUSE_EVAL_BLOCK and bb_env and not ok \
+            and vmem_est >= 100 * 1024 * 1024:
+        raise ValueError(
+            f"VLM_TPU_EVAL_BLOCK_BB={bb_env!r}: ~{vmem_est >> 20} MB VMEM "
+            f"at bb={bb}, Np={Np} exceeds the budget")
     if not ok:
         ctx = ln_qkv_attention(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias,
                                mask, scale, num_heads,
