@@ -301,3 +301,52 @@ def test_segment_padded_fused_trunk_matches_unpadded(mode):
         np.testing.assert_allclose(
             np.asarray(plain[k]), np.asarray(padded[k]), atol=2e-5,
             err_msg=f"{mode}: {k}")
+
+
+def test_block_fast_wiring_all_fusion_variants_interpret(monkeypatch):
+    """Drive the ACTUAL _block_fast kernel wiring (param-key plumbing,
+    qkv-bias assembly, rel-bias/mask layout, 257→272 padding) end-to-end
+    through the interpret-mode Pallas kernels on CPU, for all three
+    fusion variants.  The variants must be EXACTLY equal to each other
+    (bit-identity contract) and match the plain XLA path within f32
+    tolerance.  On-chip this path was previously the only coverage."""
+    import jax
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.models.mome import pallas_attention
+    from vl_merging_tpu.ops import attention as A
+    from vl_merging_tpu.ops import fused_block as F
+
+    cfg = build_config(
+        "task_test_vit_tiny_mlm_itm_ifm_square_randaug_base_vl", "ufo",
+        overrides=dict(hidden_size=128, num_heads=2, num_layers=2,
+                       image_size=256, patch_size=16, max_text_len=8,
+                       max_text_len_of_initckpt=16,
+                       vlffn_start_layer_index=2, precision="f32"))
+    spec = make_model_spec(cfg)     # 257 image tokens -> pads to 272
+    params = init_params(spec, 0)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 3, 256, 256).astype(np.float32))
+
+    plain = model.infer_image_ft(params, spec, {"image": img})
+
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    monkeypatch.setattr(F, "_INTERPRET", True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    outs = {}
+    for name, (mega, qkv, tail) in {
+            "split": (False, False, True),
+            "qkv": (False, True, True),
+            "mega": (True, False, True)}.items():
+        monkeypatch.setattr(F, "_FUSE_EVAL_BLOCK", mega)
+        monkeypatch.setattr(A, "_FUSE_LN_QKV_ATTN", qkv)
+        monkeypatch.setattr(F, "_FUSE_WHOLE_TAIL", tail)
+        with pallas_attention(True):
+            outs[name] = np.asarray(
+                model.infer_image_ft(params, spec, {"image": img})
+                ["cls_feats"])
+    np.testing.assert_allclose(outs["split"],
+                               np.asarray(plain["cls_feats"]),
+                               atol=3e-5, rtol=3e-5)
+    assert (outs["qkv"] == outs["split"]).all()
+    assert (outs["mega"] == outs["split"]).all()
