@@ -408,20 +408,30 @@ def ln_qkv_attention(x, ln_w, ln_b, w_qkv, qkv_bias, bias, mask,
     packed_fused_attention pair (bit-identical numerics)."""
     B, Np, C = x.shape
     head_dim = C // num_heads
+    # shrink the batch block until the cell fits: resident bias
+    # (H, Np, Np) f32 + x block and LN scratch (+ x double buffer) +
+    # logits tile + qkv slices + out band
+    bb = 8 if B % 8 == 0 else (4 if B % 4 == 0 else
+                               (2 if B % 2 == 0 else 1))
+    def vmem_est(bb):
+        return (num_heads * Np * Np * 4 + 3 * bb * Np * C * 2
+                + bb * Np * Np * 4 + 3 * bb * Np * 128 * 2
+                + 2 * bb * Np * 128 * 2 + 3 * C * C * 2)
+    while bb > 1 and vmem_est(bb) >= 90 * 1024 * 1024:
+        bb //= 2
     ok = (use_pallas and _FUSE_LN_QKV_ATTN
           and (jax.default_backend() == "tpu" or _INTERPRET)
           and bias is not None and mask is not None
           and C % 128 == 0 and num_heads % 2 == 0 and head_dim == 64
-          and Np % 16 == 0 and 256 <= Np <= 640
-          and w_qkv.shape == (3 * C, C))
+          and Np % 16 == 0 and 256 <= Np <= 1024
+          and w_qkv.shape == (3 * C, C)
+          and vmem_est(bb) < 90 * 1024 * 1024)
     if not ok:
         from .fused_block import ln_linear
 
         qkv = ln_linear(x, ln_w, ln_b, w_qkv, qkv_bias,
                         use_pallas=use_pallas)
         return packed_fused_attention(qkv, bias, mask, scale, num_heads)
-    bb = 8 if B % 8 == 0 else (4 if B % 4 == 0 else
-                               (2 if B % 2 == 0 else 1))
     return _pallas_ln_qkv_attention(
         x, ln_w, ln_b, w_qkv, qkv_bias, bias.astype(jnp.float32),
         mask.astype(jnp.int32), scale, num_heads, block_b=bb)

@@ -403,7 +403,16 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
     # unusable override raises instead of silently rerouting — a probe
     # labeling staged-pipeline timings as "mega bb=N" would corrupt the
     # perf record)
+    def vmem_est(bb):
+        return (6 * bb * Np * C * 2 + bb * Np * Np * 4 + Np * H1 * 4
+                + num_heads * Np * Np * 4
+                + (3 * C * C + C * C + 2 * H1 * C) * 2)
+
+    # shrink the batch block until the cell fits (@384 lands on bb=4,
+    # the VQA @480 image half Np=912 on bb=1)
     bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+    while bb > 1 and vmem_est(bb) >= 90 * 1024 * 1024:
+        bb //= 2
     bb_env = os.environ.get("VLM_TPU_EVAL_BLOCK_BB", "")
     if _FUSE_EVAL_BLOCK and bb_env:
         if not bb_env.isdigit() or B % int(bb_env):
@@ -411,21 +420,18 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
                 f"VLM_TPU_EVAL_BLOCK_BB={bb_env!r} unusable: batch {B} "
                 f"must be divisible by it")
         bb = int(bb_env)
-    vmem_est = (6 * bb * Np * C * 2 + bb * Np * Np * 4 + Np * H1 * 4
-                + num_heads * Np * Np * 4
-                + (3 * C * C + C * C + 2 * H1 * C) * 2)
     ok = (use_pallas and _FUSE_EVAL_BLOCK
           and (jax.default_backend() == "tpu" or _INTERPRET)
           and bias is not None and mask is not None
           and C % 128 == 0 and num_heads % 2 == 0 and head_dim == 64
-          and Np % 16 == 0 and 256 <= Np <= 640
+          and Np % 16 == 0 and 256 <= Np <= 1024
           and w_qkv.shape == (3 * C, C) and H1 % 128 == 0
-          and vmem_est < 100 * 1024 * 1024)
+          and vmem_est(bb) < 90 * 1024 * 1024)
     if _FUSE_EVAL_BLOCK and bb_env and not ok \
-            and vmem_est >= 100 * 1024 * 1024:
+            and vmem_est(bb) >= 90 * 1024 * 1024:
         raise ValueError(
-            f"VLM_TPU_EVAL_BLOCK_BB={bb_env!r}: ~{vmem_est >> 20} MB VMEM "
-            f"at bb={bb}, Np={Np} exceeds the budget")
+            f"VLM_TPU_EVAL_BLOCK_BB={bb_env!r}: ~{vmem_est(bb) >> 20} MB "
+            f"VMEM at bb={bb}, Np={Np} exceeds the budget")
     if not ok:
         ctx = ln_qkv_attention(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias,
                                mask, scale, num_heads,
