@@ -138,10 +138,71 @@ def tower(variants=("split", "qkv", "mega")):
               f"{BATCH * ITERS / dt:.1f} img/s", flush=True)
 
 
+def tower_vqa(variants=("split", "qkv", "mega")):
+    """VQA @480 prediction tower (fused VL infer, per-half recursion:
+    text→48, image 901→912) per variant.  r2 baseline at this config:
+    561 img/s B32 (split path, 53% MFU) — the Np=912 halves newly
+    qualify for the fused kernels under the VMEM-driven gates."""
+    jax = _cfg_jax()
+    import jax.numpy as jnp
+
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+    from vl_merging_tpu.models.mome import pallas_attention
+    from vl_merging_tpu.train.loop import eval_cast_params
+
+    cfg = build_config(
+        "task_finetune_vqa_square_randaug_base_image384_ufo",
+        overrides={"precision": "bf16", "image_size": 480})
+    spec = make_model_spec(cfg)
+    params = eval_cast_params(init_params(spec, seed=0), spec, cfg)
+
+    B = 32
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_ids": jnp.asarray(
+            rng.randint(0, spec.vocab_size, (B, spec.max_text_len))),
+        "text_masks": jnp.asarray(
+            (np.arange(spec.max_text_len)[None]
+             < rng.randint(5, spec.max_text_len, (B, 1))).astype(np.int32)),
+    }
+    image = jnp.asarray(rng.randn(B, 3, 480, 480)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+
+    def chained_bias(feats):
+        return params[NB_KEY] + (feats[0, 0] * 0).astype(
+            params[NB_KEY].dtype)
+
+    for name in variants:
+        _set_variant(name)
+
+        @jax.jit
+        def vqa_fn(p, image, norm_bias):
+            p = dict(p)
+            p[NB_KEY] = norm_bias
+            with pallas_attention(True):
+                return model.infer(p, spec, dict(batch, image=image))[
+                    "cls_feats"]
+
+        t0 = time.time()
+        feats = vqa_fn(params, image, params[NB_KEY])
+        np.asarray(feats[:1, :1])
+        print(f"vqa {name} compile {time.time() - t0:.0f}s", flush=True)
+        feats = vqa_fn(params, image, chained_bias(feats))
+        np.asarray(feats[:1, :1])
+        t0 = time.time()
+        for _ in range(ITERS):
+            feats = vqa_fn(params, image, chained_bias(feats))
+        np.asarray(feats[:1, :1])
+        dt = time.time() - t0
+        print(f"vqa {name} tower B{B}: {dt / ITERS * 1e3:.1f} ms/dispatch "
+              f"{B * ITERS / dt:.1f} img/s", flush=True)
+
+
 if __name__ == "__main__":
-    # args: "parity", "tower" (all variants), or "tower:mega,qkv" for a
-    # subset — combine with VLM_TPU_EVAL_BLOCK_BB to sweep the mega block
-    # size without recompiling the other variants
+    # args: "parity", "tower" (all variants), "tower:mega,qkv" for a
+    # subset, or "vqa" / "vqa:split,mega" for the @480 VL tower — combine
+    # with VLM_TPU_EVAL_BLOCK_BB to sweep the mega block size
     which = sys.argv[1:] or ["parity", "tower"]
     if "parity" in which:
         parity()
@@ -150,3 +211,7 @@ if __name__ == "__main__":
             tower()
         elif a.startswith("tower:"):
             tower(tuple(a.split(":", 1)[1].split(",")))
+        elif a == "vqa":
+            tower_vqa()
+        elif a.startswith("vqa:"):
+            tower_vqa(tuple(a.split(":", 1)[1].split(",")))

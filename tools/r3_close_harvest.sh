@@ -36,6 +36,7 @@ run proj_mlp_parity python tools/proj_mlp_probe.py parity
 run block_fusion    python tools/block_fusion_probe.py
 run mega_bb8        env VLM_TPU_EVAL_BLOCK_BB=8 \
                     python tools/block_fusion_probe.py tower:mega
+run vqa480          python tools/block_fusion_probe.py vqa
 run bench1          python bench.py
 run bench2          python bench.py
 echo "$(date +%s) harvest done" >> "$OUT/harvest.log"
