@@ -25,10 +25,10 @@ if ! probe; then
   exit 1
 fi
 
-run() {  # run <name> <cmd...>
+run() {  # run <name> <cmd...>  (bench autotunes 4 variants => up to ~1h)
   local name=$1; shift
   echo "$(date +%s) BEGIN $name" >> "$OUT/harvest.log"
-  timeout 1800 "$@" > "$OUT/$name.log" 2>&1
+  timeout 3600 "$@" > "$OUT/$name.log" 2>&1
   echo "$(date +%s) END $name exit=$?" >> "$OUT/harvest.log"
 }
 
