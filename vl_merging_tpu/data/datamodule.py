@@ -192,7 +192,7 @@ class MultiMTDataModule:
                 yield batch
 
         n = min(len(l) for l in loaders.values())
-        return _SizedIterable(gen, n)
+        return _SizedIterable(gen, n, children=tuple(loaders.values()))
 
     def train_loader(self, batch_size: int):
         return self._combined({t: mt.train_loader(batch_size)
@@ -217,9 +217,19 @@ class MultiMTDataModule:
 
 
 class _SizedIterable:
-    def __init__(self, gen_fn, n):
+    def __init__(self, gen_fn, n, children=()):
         self.gen_fn = gen_fn
         self.n = n
+        self.children = children
+
+    def set_epoch(self, epoch: int) -> None:
+        """Forward the epoch to every child loader's sampler so mixed-task
+        training reshuffles per epoch (Trainer.fit calls this; without the
+        forwarding the combined loader would replay epoch-0 order
+        forever)."""
+        for c in self.children:
+            if hasattr(c, "batch_sampler"):
+                c.batch_sampler.set_epoch(epoch)
 
     def __len__(self):
         return self.n

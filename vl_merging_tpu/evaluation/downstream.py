@@ -12,6 +12,8 @@ import json
 import os
 from typing import Dict, Iterable, List, Sequence
 
+import functools
+
 import jax
 import numpy as np
 
@@ -20,6 +22,15 @@ from ..models.spec import ModelSpec, Params
 
 
 def make_vqa_logits_fn(spec: ModelSpec):
+    # re-traced per fusion-gate state: the jit bakes the
+    # gates in at trace time, so they are part of the key
+    from ..ops.fused_block import fusion_gates
+
+    return _make_vqa_logits_fn(spec, fusion_gates())
+
+
+@functools.lru_cache(maxsize=16)
+def _make_vqa_logits_fn(spec: ModelSpec, _gates):
     from ..models.mome import pallas_attention
 
     @jax.jit
@@ -54,14 +65,30 @@ def vqa_predictions(
 def write_vqa_submission(
     rets: List[Dict], model_name: str, output_dir: str,
 ) -> str:
-    """Assemble the submission json; on multi-host, gather all processes'
-    records and write once from process 0 (objectives.py:742-769)."""
+    """Assemble the submission json; on multi-host, each process writes a
+    per-rank json to the shared output dir, a device barrier orders the
+    writes, and process 0 merges — exactly the reference's per-rank json +
+    barrier + rank-0 glob (objectives.py:742-769).  (process_allgather is
+    NOT usable here: the records hold strings and the per-host lists have
+    different lengths, neither of which the array gather supports.)"""
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        gathered = multihost_utils.process_allgather(rets)
+        os.makedirs(output_dir, exist_ok=True)
+        rank_path = os.path.join(
+            output_dir, f"vqa_submit_{model_name}_rank"
+                        f"{jax.process_index()}.json")
+        with open(rank_path, "w") as fp:
+            json.dump(rets, fp)
+        multihost_utils.sync_global_devices("vqa_submission_rank_writes")
         if jax.process_index() != 0:
             return ""
-        all_rets = [r for chunk in gathered for r in chunk]
+        all_rets = []
+        for r in range(jax.process_count()):
+            p = os.path.join(output_dir,
+                             f"vqa_submit_{model_name}_rank{r}.json")
+            with open(p) as fp:
+                all_rets += json.load(fp)
+            os.remove(p)
     else:
         all_rets = rets
     os.makedirs(output_dir, exist_ok=True)

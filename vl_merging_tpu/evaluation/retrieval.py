@@ -27,6 +27,15 @@ from ..models.spec import ModelSpec, Params
 
 
 def make_text_feature_fn(spec: ModelSpec):
+    # re-traced per fusion-gate state: the jit bakes the
+    # gates in at trace time, so they are part of the key
+    from ..ops.fused_block import fusion_gates
+
+    return _make_text_feature_fn(spec, fusion_gates())
+
+
+@functools.lru_cache(maxsize=16)
+def _make_text_feature_fn(spec: ModelSpec, _gates):
     # the rel-pos bias gather stays inside the jit: XLA fuses it into the
     # attention consumers (hoisting it measured 1.4x slower; see bench.py)
     from ..models.mome import pallas_attention
@@ -42,6 +51,15 @@ def make_text_feature_fn(spec: ModelSpec):
 
 
 def make_image_feature_fn(spec: ModelSpec):
+    # re-traced per fusion-gate state: the jit bakes the
+    # gates in at trace time, so they are part of the key
+    from ..ops.fused_block import fusion_gates
+
+    return _make_image_feature_fn(spec, fusion_gates())
+
+
+@functools.lru_cache(maxsize=16)
+def _make_image_feature_fn(spec: ModelSpec, _gates):
     from ..models.mome import pallas_attention
 
     @jax.jit
@@ -105,6 +123,15 @@ def retrieval_recall(
 
 
 def make_itm_pair_fn(spec: ModelSpec):
+    # re-traced per fusion-gate state: the jit bakes the
+    # gates in at trace time, so they are part of the key
+    from ..ops.fused_block import fusion_gates
+
+    return _make_itm_pair_fn(spec, fusion_gates())
+
+
+@functools.lru_cache(maxsize=16)
+def _make_itm_pair_fn(spec: ModelSpec, _gates):
     """Jitted fused pass scoring (text, image) pairs with the ITM head."""
     from ..models.mome import pallas_attention
 

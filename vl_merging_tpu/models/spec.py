@@ -16,6 +16,7 @@ the reference (reference: src/vilt/modules/vilt_module.py:376-384).
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -352,7 +353,12 @@ def init_params(spec: ModelSpec, seed: int = 0) -> Params:
     root = jax.random.PRNGKey(seed)
     params: Params = {}
     for name, shape in sorted(shapes.items()):
-        key = jax.random.fold_in(root, hash(name) & 0x7FFFFFFF)
+        # crc32, NOT hash(): python str hashes are salted per process, so
+        # hash(name) would give every process (and every rerun) a
+        # different init — caught by tools/multiprocess_smoke.py's
+        # cross-rank device_put equality check
+        key = jax.random.fold_in(
+            root, zlib.crc32(name.encode()) & 0x7FFFFFFF)
         if name.endswith("gamma_1") or name.endswith("gamma_2"):
             val = jnp.full(shape, 0.1, jnp.float32)  # LayerScale init 0.1
         elif name in ("relative_position_bias_table",

@@ -51,6 +51,16 @@ _FUSE_WHOLE_TAIL = os.environ.get("VLM_TPU_FUSE_PROJ_MLP", "1") != "0"
 _FUSE_EVAL_BLOCK = os.environ.get("VLM_TPU_FUSE_EVAL_BLOCK", "0") == "1"
 
 
+def fusion_gates():
+    """Current eval-fusion gate states — jit traces bake these in, so any
+    cache of traced functions must key on them (evaluation/retrieval.py's
+    lru-cached tower factories do)."""
+    from . import attention
+
+    return (_FUSE_WHOLE_TAIL, _FUSE_EVAL_BLOCK,
+            attention._FUSE_LN_QKV_ATTN)
+
+
 def _ln_f32(x, w_ref, b_ref):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

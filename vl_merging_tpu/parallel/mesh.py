@@ -146,7 +146,23 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     return {k: jax.device_put(v, shardings[k]) for k, v in params.items()}
 
 
+def global_put(arr, mesh: Mesh, spec: P):
+    """Place one host array onto the mesh under ``spec``.
+
+    Single-process: a plain sharded device_put.  Multi-host: each process
+    holds only ITS slice of the global batch (ShardedBatchSampler yields
+    per-host shares), so the global array must be assembled from
+    process-local data — device_put would instead interpret every host's
+    (different) array as the same global value and silently drop all but
+    the local rows of each.
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(arr))
+    return jax.device_put(arr, sh)
+
+
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) if v is not None else None
+    spec = P((DATA_AXIS, FSDP_AXIS))
+    return {k: global_put(v, mesh, spec) if v is not None else None
             for k, v in batch.items()}

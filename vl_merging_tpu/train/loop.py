@@ -100,24 +100,34 @@ def pad_batch_for_mesh(batch: Dict, ndev: int):
     return pad_to_multiple(batch, -(-n // ndev) * ndev)
 
 
-def device_feed(batch: Dict, mesh=None) -> Dict:
-    """Numeric arrays → (sharded) device arrays; python payloads dropped.
-
-    Mixed-task batches ({"v": …, "l": …, "vl": …}) recurse per task."""
+def host_filter(batch: Dict) -> Dict:
+    """Numeric host arrays only (python payloads dropped); mixed-task
+    batches ({"v": …, "l": …, "vl": …}) recurse per task."""
     feed = {}
     for k, v in batch.items():
         if k in ARRAY_KEYS_EXCLUDED:
             continue
         if isinstance(v, dict):
-            feed[k] = device_feed(v, mesh)
+            feed[k] = host_filter(v)
         elif isinstance(v, np.ndarray) and v.dtype != object:
-            feed[k] = jnp.asarray(v)
-    if mesh is not None:
-        flat = {k: v for k, v in feed.items() if not isinstance(v, dict)}
-        sharded = parallel.shard_batch(flat, mesh)
-        feed = {k: (v if isinstance(v, dict) else sharded[k])
-                for k, v in feed.items()}
+            feed[k] = v
     return feed
+
+
+def device_feed(batch: Dict, mesh=None) -> Dict:
+    """Numeric arrays → (sharded) device arrays; python payloads dropped."""
+    feed = host_filter(batch)
+
+    def put(d):
+        if mesh is None:
+            return {k: (put(v) if isinstance(v, dict) else jnp.asarray(v))
+                    for k, v in d.items()}
+        flat = {k: v for k, v in d.items() if not isinstance(v, dict)}
+        sharded = parallel.shard_batch(flat, mesh)
+        return {k: (put(v) if isinstance(v, dict) else sharded[k])
+                for k, v in d.items()}
+
+    return put(feed)
 
 
 class JsonlLogger:
@@ -162,7 +172,15 @@ class Trainer:
             print(f"unexpected_keys: {unexpected}")
         self.params = parallel.shard_params(params, self.mesh)
 
-        per_dev = cfg["per_device_batch_size"] or cfg["batch_size"]
+        per_dev = cfg["per_device_batch_size"]
+        if not per_dev:
+            # the reference makes per_gpu_batchsize mandatory too
+            # (config.py:111 "you should define this manually"; run.py:211
+            # divides by it) — silently substituting batch_size here would
+            # inflate the effective batch by the device count
+            raise ValueError(
+                "per_device_batch_size must be set (> 0); it is the "
+                "reference's per_gpu_batchsize")
         self.local_batch = per_dev * self.mesh.devices.size
         self.accum_steps = max(
             1, cfg["batch_size"] // (per_dev * jax.device_count()))
@@ -179,11 +197,11 @@ class Trainer:
         self.best_metric = -float("inf")
 
     # -- loop construction -------------------------------------------------
-    def _resolve_max_steps(self, steps_per_epoch: int) -> int:
+    def _resolve_max_steps(self, opt_steps_per_epoch: int) -> int:
         cfg = self.cfg
         if cfg["max_steps"] is not None:
             return cfg["max_steps"]
-        return (steps_per_epoch * cfg["max_epoch"]) // self.accum_steps
+        return opt_steps_per_epoch * cfg["max_epoch"]
 
     def _build_step(self, max_steps: int):
         cfg = self.cfg
@@ -200,23 +218,56 @@ class Trainer:
     def fit(self, datamodule) -> None:
         cfg = self.cfg
         train_loader = datamodule.train_loader(self.local_batch)
-        steps_per_epoch = max(1, int(len(train_loader) *
+        # two step units: the loader yields MICRO-batches; the optimizer
+        # advances once per accum_steps of them.  `step`/`max_steps`/
+        # val cadence are OPTIMIZER steps; per-epoch loader caps are micro.
+        micro_per_epoch = max(1, int(len(train_loader) *
                                      cfg["limit_train_batches"]))
-        max_steps = self._resolve_max_steps(steps_per_epoch)
+        opt_steps_per_epoch = max(1, micro_per_epoch // self.accum_steps)
+        max_steps = self._resolve_max_steps(opt_steps_per_epoch)
         self._build_step(max_steps)
         self._maybe_resume()
+
+        # Lightning semantics: float < 1.0 = that fraction of the epoch;
+        # 1.0 = epoch-end only; an int = every N loader batches
+        vci = cfg["val_check_interval"]
+        if isinstance(vci, float):
+            vci_opt = (None if vci >= 1.0
+                       else max(1, int(micro_per_epoch * vci)
+                                // self.accum_steps))
+        else:
+            vci_opt = max(1, int(vci) // self.accum_steps)
 
         step = int(self.state.step)
         t_last = time.time()
         train_metrics = MetricAccumulator()
+        pending = []  # device-resident per-step metrics; fetched in bulk
+
+        def flush_metrics():
+            """ONE host fetch for all buffered steps (a per-metric float()
+            every step costs one device->host round-trip each — ~125 ms on
+            the axon tunnel — and stalls the donated-buffer pipeline)."""
+            if not pending:
+                return None
+            keys = sorted(pending[0])
+            vals = np.asarray(jnp.stack(
+                [jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])
+                 for m in pending]))
+            for row in vals:
+                train_metrics.update(dict(zip(keys, row)))
+            pending.clear()
+            return dict(zip(keys, vals[-1]))
+
         epoch = 0
         done = False
         while not done and epoch < cfg["max_epoch"] * 10:
-            if hasattr(train_loader, "batch_sampler"):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            elif hasattr(train_loader, "batch_sampler"):
                 train_loader.batch_sampler.set_epoch(epoch)
             micro_buf = []
             for i, batch in enumerate(train_loader):
-                if i >= steps_per_epoch * self.accum_steps:
+                if i >= micro_per_epoch:
                     break
                 if cfg["fast_dev_run"] and step >= 1:
                     done = True
@@ -229,13 +280,13 @@ class Trainer:
 
                 self.state, metrics = self.step_fn(self.state, feed)
                 step += 1
-                train_metrics.update(
-                    {k: v for k, v in metrics.items()})
+                pending.append(metrics)
 
                 if step % 10 == 0:
                     dt = time.time() - t_last
                     t_last = time.time()
-                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars = {k: float(v)
+                               for k, v in (flush_metrics() or {}).items()}
                     scalars["steps_per_sec"] = 10 / dt
                     self.logger.log(step, scalars)
                     print(f"step {step}/{max_steps} "
@@ -245,32 +296,33 @@ class Trainer:
                 if step >= max_steps:
                     done = True
                     break
-                vci = cfg["val_check_interval"]
-                if isinstance(vci, float) and vci < 1.0:
-                    vci = max(1, int(steps_per_epoch * vci))
-                if vci != 1.0 and isinstance(vci, int) and \
-                        step % vci == 0:
+                if vci_opt is not None and step % vci_opt == 0:
+                    flush_metrics()
                     self._validate_and_checkpoint(datamodule, step)
             epoch += 1
             if not done or cfg["fast_dev_run"]:
+                flush_metrics()
                 self._wrapup_train_epoch(train_metrics, step)
                 self._validate_and_checkpoint(datamodule, step)
+        flush_metrics()
         self._validate_and_checkpoint(datamodule, step, final=True)
 
     def _stack_micro(self, micro_buf):
         if self.accum_steps == 1:
             return device_feed(micro_buf[0], self.mesh)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-        feeds = [device_feed(b, None) for b in micro_buf]
-        # (accum, micro, …): batch axis 1 shards over the mesh
-        sh = NamedSharding(self.mesh,
-                           P(None, (parallel.DATA_AXIS, parallel.FSDP_AXIS)))
+        feeds = [host_filter(b) for b in micro_buf]
+        # (accum, micro, …): batch axis 1 shards over the mesh;
+        # parallel.global_put assembles from process-local slices on
+        # multi-host runs (each host stacks only its own batch share)
+        spec = P(None, (parallel.DATA_AXIS, parallel.FSDP_AXIS))
 
         def stack(sub):  # mixed-task feeds nest one dict level per task
             return {k: (stack([f[k] for f in sub])
                         if isinstance(sub[0][k], dict) else
-                        jax.device_put(jnp.stack([f[k] for f in sub]), sh))
+                        parallel.global_put(np.stack([f[k] for f in sub]),
+                                            self.mesh, spec))
                     for k in sub[0]}
 
         return stack(feeds)
@@ -318,7 +370,12 @@ class Trainer:
             feed = device_feed(padded, self.mesh)
             rng, key = jax.random.split(rng)
             metrics = self.eval_fn(params, feed, key)
-            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            # one stacked fetch per batch (per-key np.asarray would pay
+            # one ~125 ms tunnel round-trip per metric per batch)
+            keys = sorted(metrics)
+            vals = np.asarray(jnp.stack(
+                [jnp.asarray(metrics[k], jnp.float32) for k in keys]))
+            metrics = dict(zip(keys, vals))
             if "table_name" in batch and "nlvr2_loss" in metrics:
                 logits_fn = self._nlvr2_logits_fn()
                 logits = np.asarray(logits_fn(params, feed))[:n_valid]
@@ -417,18 +474,23 @@ class Trainer:
             self.state.params if hasattr(self, "state") else self.params)
         results: Dict[str, float] = {}
         if cfg["loss_names"]["vqa"] > 0:
-            loader = datamodule.test_loader(self.local_batch)
             id2answer = getattr(datamodule.dms[0], "id2answer", None)
-            batches = []
-            ndev = self.mesh.devices.size
-            for batch in loader:
-                padded, n_valid = pad_to_multiple(
-                    batch, -(-len(batch["qid"]) // ndev) * ndev)
-                feed = device_feed(padded, self.mesh)
-                feed["qid"] = batch["qid"][:n_valid]  # unpadded → preds slice
-                batches.append(feed)
             if id2answer is not None:
-                rets = vqa_predictions(params, self.spec, batches, id2answer)
+                ndev = self.mesh.devices.size
+
+                def feeds():
+                    # STREAM batches through the predict fn — materializing
+                    # the whole test split on device first (447k images at
+                    # real scale) would OOM HBM before inference starts
+                    for batch in datamodule.test_loader(self.local_batch):
+                        padded, n_valid = pad_to_multiple(
+                            batch, -(-len(batch["qid"]) // ndev) * ndev)
+                        feed = device_feed(padded, self.mesh)
+                        # unpadded → predictions are sliced to n_valid
+                        feed["qid"] = batch["qid"][:n_valid]
+                        yield feed
+
+                rets = vqa_predictions(params, self.spec, feeds(), id2answer)
                 model_name = os.path.basename(cfg["load_path"])[:-5] \
                     if cfg["load_path"] else self.exp_name
                 path = write_vqa_submission(rets, model_name, self.log_dir)
@@ -441,16 +503,27 @@ class Trainer:
         return os.path.join(self.log_dir, "checkpoints", tag)
 
     def _save_checkpoint(self, tag: str) -> None:
+        # Param materialization is a COLLECTIVE on multi-host fsdp runs
+        # (shards live on other hosts' devices), so every process must
+        # reach it — only the file writes are rank-0-only.
+        params = self.state.params
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            params = {k: multihost_utils.process_allgather(v, tiled=True)
+                      for k, v in params.items()}
         if jax.process_index() != 0:
             return
-        sd = ckpt_io.params_to_state_dict(self.state.params)
+        sd = ckpt_io.params_to_state_dict(params)
         os.makedirs(self._ckpt_dir(tag), exist_ok=True)
         ckpt_io.save_torch_checkpoint(
             sd, os.path.join(self._ckpt_dir(tag), "weights.ckpt"))
         with open(os.path.join(self._ckpt_dir(tag), "meta.json"), "w") as f:
             json.dump({"step": int(self.state.step),
                        "best_metric": self.best_metric}, f)
-        if tag == "last":  # full-state (opt/rng) resume point
+        # full-state (opt/rng) resume point; single-process only — the
+        # orbax save here is not a multi-controller collective, and
+        # calling it from proc 0 alone on sharded state would deadlock
+        if tag == "last" and jax.process_count() == 1:
             from .checkpointing import save_train_state
             try:
                 save_train_state(self.state,
