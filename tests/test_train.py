@@ -382,3 +382,38 @@ def test_eval_cast_params_bit_identical():
     cfg32 = tiny_cfg(precision="f32")
     spec32 = make_model_spec(cfg32)
     assert eval_cast_params(params, spec32, cfg32) is params
+
+
+def test_vci_to_opt_steps_semantics():
+    """Lightning val_check_interval semantics in optimizer-step units
+    (reference run.py:256-286 passes the raw value to pl.Trainer):
+    float<1 = fraction of the epoch, 1.0 = epoch-end only, int = every N
+    loader (micro) batches."""
+    from vl_merging_tpu.train.loop import vci_to_opt_steps
+
+    # 1.0 → epoch-end only (no intra-epoch cadence)
+    assert vci_to_opt_steps(1.0, 100, 1) is None
+    assert vci_to_opt_steps(1.0, 100, 4) is None
+    # fraction of the epoch, accum-adjusted
+    assert vci_to_opt_steps(0.5, 100, 1) == 50
+    assert vci_to_opt_steps(0.5, 100, 4) == 12   # 50 micro → 12 opt steps
+    assert vci_to_opt_steps(0.1, 1000, 1) == 100
+    # int = every N loader batches = N//accum optimizer steps
+    assert vci_to_opt_steps(200, 10_000, 1) == 200
+    assert vci_to_opt_steps(200, 10_000, 8) == 25
+    # never zero even when N < accum or tiny fractions
+    assert vci_to_opt_steps(2, 10_000, 8) == 1
+    assert vci_to_opt_steps(0.001, 100, 1) == 1
+
+
+def test_resolve_max_steps_units():
+    """max_steps=None derives from epochs in OPTIMIZER steps: with accum,
+    an epoch of N micro-batches is N//accum optimizer steps (Lightning
+    counts global_step in optimizer steps)."""
+    from vl_merging_tpu.train.loop import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t.cfg = {"max_steps": None, "max_epoch": 10}
+    assert t._resolve_max_steps(25) == 250
+    t.cfg = {"max_steps": 1234, "max_epoch": 10}
+    assert t._resolve_max_steps(25) == 1234

@@ -130,6 +130,22 @@ def device_feed(batch: Dict, mesh=None) -> Dict:
     return put(feed)
 
 
+def vci_to_opt_steps(vci, micro_per_epoch: int, accum_steps: int):
+    """Convert ``val_check_interval`` to an optimizer-step cadence.
+
+    Lightning semantics (reference run.py plumbs the raw config value into
+    pl.Trainer): a float < 1.0 validates that fraction of the epoch into
+    training; 1.0 means epoch-end only (None here — the epoch boundary
+    handles it); an int validates every N LOADER batches, which at
+    accum_steps micro-batches per optimizer step is N//accum optimizer
+    steps."""
+    if isinstance(vci, float):
+        if vci >= 1.0:
+            return None
+        return max(1, int(micro_per_epoch * vci) // accum_steps)
+    return max(1, int(vci) // accum_steps)
+
+
 class JsonlLogger:
     def __init__(self, log_dir: str, name: str):
         os.makedirs(log_dir, exist_ok=True)
@@ -228,15 +244,8 @@ class Trainer:
         self._build_step(max_steps)
         self._maybe_resume()
 
-        # Lightning semantics: float < 1.0 = that fraction of the epoch;
-        # 1.0 = epoch-end only; an int = every N loader batches
-        vci = cfg["val_check_interval"]
-        if isinstance(vci, float):
-            vci_opt = (None if vci >= 1.0
-                       else max(1, int(micro_per_epoch * vci)
-                                // self.accum_steps))
-        else:
-            vci_opt = max(1, int(vci) // self.accum_steps)
+        vci_opt = vci_to_opt_steps(cfg["val_check_interval"],
+                                   micro_per_epoch, self.accum_steps)
 
         step = int(self.state.step)
         t_last = time.time()
