@@ -174,6 +174,45 @@ def run_workload(out_json: str, local_slice) -> None:
     result = dict(process_count=jax.process_count(),
                   losses=losses, init=init_digest, final=_digest(final))
 
+    # --- check 6: retrieval recall pipeline over GLOBAL-built batches
+    # (Trainer.recall indexes the dataset directly on every process;
+    # device_feed_global slices each process's row share before assembly,
+    # and the concat/score/topk pipeline runs jitted on global arrays)
+    from vl_merging_tpu.evaluation.retrieval import compute_irtr_recall
+    from vl_merging_tpu.train.loop import device_feed_global
+
+    rngr = np.random.RandomState(7)
+    n_txt, n_img = 12, 8
+    text_batches = []
+    for _ in range(2):  # 12 texts padded into two global batches of 8
+        ids = rngr.randint(0, spec.vocab_size, (8, spec.max_text_len))
+        text_batches.append({"text_ids": ids,
+                             "text_masks": np.ones_like(ids, np.int32)})
+    image_batches = [{
+        "image": rngr.randn(n_img, 3, spec.image_size, spec.image_size)
+                     .astype(np.float32)}]
+    tiids = np.asarray([i % n_img for i in range(n_txt)])
+    iids = np.arange(n_img)
+    rec = compute_irtr_recall(
+        params, spec,
+        [device_feed_global(b, mesh) for b in text_batches],
+        [device_feed_global(b, mesh) for b in image_batches],
+        tiids, iids)
+    result["recall"] = rec
+
+    # --- check 7: fetch_global + process_rows (the eval fetch mechanism:
+    # per-example jit outputs are batch-sharded global arrays on
+    # multi-host; vqa_predictions / the NLVR2 logits path gather then
+    # slice this host's contiguous share)
+    if local_slice is not None:
+        from vl_merging_tpu import parallel as par
+        doubled = jax.jit(lambda a: a * 2.0)(sharded["image"])
+        fetched = par.fetch_global(doubled)
+        np.testing.assert_array_equal(fetched, full["image"] * 2.0)
+        rows = par.process_rows(fetched.shape[0])
+        np.testing.assert_array_equal(fetched[rows], batch_np["image"] * 2.0)
+        result["fetch_global"] = "ok"
+
     # --- check 5: per-rank VQA submission merge (multi-process only)
     if local_slice is not None:
         from vl_merging_tpu.evaluation.downstream import write_vqa_submission
@@ -262,6 +301,10 @@ def launch() -> int:
         multi = json.load(fp)
     assert multi["process_count"] == 2
     assert multi.get("vqa_merge") == "ok"
+    assert multi.get("fetch_global") == "ok"
+    # recall ratios are quantized (k/N): any difference is a rank flip
+    assert multi["recall"] == single["recall"], (single["recall"],
+                                                 multi["recall"])
     for a, b in zip(single["losses"], multi["losses"]):
         assert abs(a - b) < 1e-4 * max(1.0, abs(a)), (a, b)
     for phase in ("init", "final"):

@@ -41,18 +41,48 @@ def _make_vqa_logits_fn(spec: ModelSpec, _gates):
     return fn
 
 
+def make_vqa_pred_fn(spec: ModelSpec):
+    """Jitted argmax answer ids — the argmax stays INSIDE the jit so the
+    fetched array is (B,) int32, and so the fetch itself works on
+    multi-host runs (eager argmax on a batch-sharded global array
+    raises)."""
+    from ..ops.fused_block import fusion_gates
+
+    return _make_vqa_pred_fn(spec, fusion_gates())
+
+
+@functools.lru_cache(maxsize=16)
+def _make_vqa_pred_fn(spec: ModelSpec, _gates):
+    logits_fn = _make_vqa_logits_fn(spec, _gates)
+
+    @jax.jit
+    def fn(params, batch):
+        return jax.numpy.argmax(logits_fn(params, batch), axis=-1)
+    return fn
+
+
 def vqa_predictions(
     params: Params, spec: ModelSpec, batches: Iterable[Dict],
     id2answer: Dict[int, str],
 ) -> List[Dict]:
     """Per-question {"question_id", "answer"} records
-    (objectives.py:724-735)."""
-    fn = make_vqa_logits_fn(spec)
+    (objectives.py:724-735).
+
+    Multi-host: each feed's arrays are GLOBAL (P·rows_local rows, assembled
+    from per-host loader shares by ``device_feed``) while ``b["qid"]`` holds
+    only THIS host's (unpadded) qids — so the global predictions are
+    gathered to every process and this host's contiguous row share is
+    zipped against its local qids; the per-rank submission merge
+    de-duplicates nothing because the shares are disjoint."""
+    from ..parallel import host
+
+    fn = make_vqa_pred_fn(spec)
     rets = []
     for b in batches:
         feed = {k: v for k, v in b.items()
                 if k in ("text_ids", "text_masks", "image")}
-        preds = np.asarray(jax.numpy.argmax(fn(params, feed), axis=-1))
+        preds = host.fetch_global(fn(params, feed))
+        preds = preds[host.process_rows(preds.shape[0])]
         for qid, pred in zip(b["qid"], preds):
             if isinstance(qid, (np.integer, np.floating)):
                 qid = qid.item()  # json-serializable
@@ -107,8 +137,11 @@ def nlvr2_split_update(
     correct = (np.argmax(logits, -1) == labels)
     for split in ("dev", "test"):
         idx = [i for i, n in enumerate(table_names) if split in n]
-        if idx:
-            accumulator.update({
-                f"{split}_nlvr2_correct": float(correct[idx].sum()),
-                f"{split}_nlvr2_count": float(len(idx)),
-            })
+        # zero-count updates keep the key structure identical across
+        # processes (MetricAccumulator.cross_process_reduce gathers a
+        # fixed pytree); accuracy() still reports None for empty splits
+        accumulator.update({
+            f"{split}_nlvr2_correct": float(correct[idx].sum()) if idx
+            else 0.0,
+            f"{split}_nlvr2_count": float(len(idx)),
+        })

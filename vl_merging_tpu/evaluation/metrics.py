@@ -50,6 +50,24 @@ class MetricAccumulator:
             return None
         return self.sums[name] / self.counts[name]
 
+    def cross_process_reduce(self, keys) -> None:
+        """Sum the named HOST-side tallies across processes — the
+        torchmetrics dist-sync equivalent for accumulators fed from
+        process-local data (e.g. the NLVR2 dev/test split, tallied from
+        each host's loader share).  Keys must be named explicitly: most
+        *_correct/_count sums here come from jit outputs over the GLOBAL
+        batch (identical on every process) and must NOT be re-summed.
+        Every process must pass the same key set (process_allgather
+        gathers a fixed pytree structure); absent keys count as 0."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from ..parallel import host
+
+        summable = {k: self.sums.get(k, 0.0) for k in sorted(keys)}
+        self.sums.update(host.reduce_dict(summable, average=False))
+
     def compute(self) -> Dict[str, float]:
         out = {}
         seen = set()

@@ -83,7 +83,20 @@ def extract_features(
         feats = [fn(params, b["image"]) for b in batches]
     else:
         raise ValueError(kind)
-    return jnp.concatenate(feats, axis=0)
+    return _concat_rows(feats)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _concat_rows(xs, n: int = None):
+    """jit'd concat (+ optional row slice) — eager jnp ops raise on the
+    non-fully-addressable global arrays multi-host towers produce."""
+    out = jnp.concatenate(list(xs), axis=0)
+    return out if n is None else out[:n]
+
+
+@jax.jit
+def _itc_scores(img, txt):
+    return img.astype(jnp.float32) @ txt.astype(jnp.float32).T
 
 
 @functools.partial(jax.jit, static_argnames=("ks",))
@@ -236,16 +249,17 @@ def compute_irtr_recall(
     feed to one static, mesh-divisible shape); features are sliced back to
     ``len(tiids)`` / ``len(iids)`` rows here."""
     n_txt, n_img = len(tiids), len(iids)
-    txt = extract_features(params, spec, text_batches, "text")[:n_txt]
-    img = extract_features(params, spec, image_batches, "image")[:n_img]
-    scores = (img.astype(jnp.float32) @ txt.astype(jnp.float32).T)
+    txt = _concat_rows([extract_features(params, spec, text_batches,
+                                         "text")], n=n_txt)
+    img = _concat_rows([extract_features(params, spec, image_batches,
+                                         "image")], n=n_img)
+    scores = _itc_scores(img, txt)
     if itm_rerank_topk:
-        text_ids = jnp.concatenate(
-            [b["text_ids"] for b in text_batches])[:n_txt]
-        text_masks = jnp.concatenate(
-            [b["text_masks"] for b in text_batches])[:n_txt]
-        images = jnp.concatenate(
-            [b["image"] for b in image_batches])[:n_img]
+        text_ids = _concat_rows([b["text_ids"] for b in text_batches],
+                                n=n_txt)
+        text_masks = _concat_rows([b["text_masks"] for b in text_batches],
+                                  n=n_txt)
+        images = _concat_rows([b["image"] for b in image_batches], n=n_img)
         tr_scores = itm_rerank_scores(
             params, spec, text_ids, text_masks, images, scores,
             itm_rerank_topk, axis=1)

@@ -5,5 +5,5 @@ from .mesh import (  # noqa: F401
 )
 from .host import (  # noqa: F401
     get_rank, get_world_size, is_main_process, synchronize,
-    all_gather_objects, reduce_dict,
+    all_gather_objects, reduce_dict, fetch_global, process_rows,
 )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 import jax
+import numpy as np
 
 
 def get_rank() -> int:
@@ -33,6 +34,28 @@ def synchronize() -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("vlm_tpu_sync")
+
+
+def fetch_global(x) -> np.ndarray:
+    """``np.asarray`` that also works for GLOBAL jax.Arrays on multi-host
+    runs: a batch-sharded jit output spans other hosts' devices
+    (``is_fully_addressable`` False), where a plain np.asarray raises —
+    gather it to every process first.  Single-host / replicated values
+    take the plain path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def process_rows(n_global_rows: int) -> slice:
+    """This process's contiguous row share of a global, device-divisible
+    batch (the ShardedBatchSampler / ``parallel.global_put`` contract:
+    rank r holds rows [r·share, (r+1)·share))."""
+    share = n_global_rows // jax.process_count()
+    lo = jax.process_index() * share
+    return slice(lo, lo + share)
 
 
 def all_gather_objects(obj: Any) -> List[Any]:

@@ -114,6 +114,24 @@ def host_filter(batch: Dict) -> Dict:
     return feed
 
 
+def device_feed_global(batch: Dict, mesh) -> Dict:
+    """``device_feed`` for batches where EVERY process holds the full
+    global rows (``Trainer.recall`` indexes the dataset directly instead
+    of going through the per-host-sharded loader): slice this process's
+    contiguous row share first, then assemble.  Single-process this is
+    exactly ``device_feed``."""
+    feed = host_filter(batch)
+    if jax.process_count() > 1:
+        from ..parallel.host import process_rows
+
+        def sl(d):
+            return {k: (sl(v) if isinstance(v, dict)
+                        else v[process_rows(v.shape[0])])
+                    for k, v in d.items()}
+        feed = sl(feed)
+    return device_feed(feed, mesh)
+
+
 def device_feed(batch: Dict, mesh=None) -> Dict:
     """Numeric arrays → (sharded) device arrays; python payloads dropped."""
     feed = host_filter(batch)
@@ -382,17 +400,33 @@ class Trainer:
             # one stacked fetch per batch (per-key np.asarray would pay
             # one ~125 ms tunnel round-trip per metric per batch)
             keys = sorted(metrics)
-            vals = np.asarray(jnp.stack(
-                [jnp.asarray(metrics[k], jnp.float32) for k in keys]))
+            if jax.process_count() > 1:
+                # jit scalars are fully replicated → float() is legal on
+                # multi-host, where the eager jnp.stack would raise
+                vals = np.asarray([float(metrics[k]) for k in keys],
+                                  np.float32)
+            else:
+                vals = np.asarray(jnp.stack(
+                    [jnp.asarray(metrics[k], jnp.float32) for k in keys]))
             metrics = dict(zip(keys, vals))
             if "table_name" in batch and "nlvr2_loss" in metrics:
                 logits_fn = self._nlvr2_logits_fn()
-                logits = np.asarray(logits_fn(params, feed))[:n_valid]
-                nlvr2_split_update(acc, logits,
+                # global (B_global, 2) logits; THIS host's loader share is
+                # the contiguous rows_per_host block starting at its rank
+                # offset (answers/table_name are host-local payloads)
+                lg = parallel.fetch_global(logits_fn(params, feed))
+                lo = parallel.process_rows(lg.shape[0]).start
+                nlvr2_split_update(acc, lg[lo:lo + n_valid],
                                    np.asarray(batch["answers"]),
                                    batch["table_name"])
             acc.update(metrics)
 
+        if any("_nlvr2_" in k for k in acc.sums):
+            # the only HOST-side tallies (fed from each process's loader
+            # share); every jit metric is already a global-batch value
+            acc.cross_process_reduce(
+                [f"{s}_nlvr2_{t}" for s in ("dev", "test")
+                 for t in ("correct", "count")])
         computed = acc.compute()
         recall = None
         out = {}
@@ -461,7 +495,8 @@ class Trainer:
                 b = dset.collate([dset[i] for i in idx], dm.mlm_collator)
                 ids += list(b["img_index"])
                 b, _ = pad_to_multiple(b, bs)  # one shape → one compile
-                batches.append(device_feed(b, self.mesh))
+                # ids stay GLOBAL; each process feeds only its row share
+                batches.append(device_feed_global(b, self.mesh))
             return batches, ids
 
         text_batches, tiids = collect(text_dset)
