@@ -213,6 +213,15 @@ def run_workload(out_json: str, local_slice) -> None:
         np.testing.assert_array_equal(fetched[rows], batch_np["image"] * 2.0)
         result["fetch_global"] = "ok"
 
+        # --- check 8: ragged picklable-object gather (the reference's
+        # dist_utils.all_gather pickle+pad protocol)
+        rank = jax.process_index()
+        objs = par.all_gather_objects(
+            {"rank": rank, "tag": "x" * (5 + 10 * rank)})
+        assert [o["rank"] for o in objs] == [0, 1], objs
+        assert [len(o["tag"]) for o in objs] == [5, 15], objs
+        result["obj_gather"] = "ok"
+
     # --- check 5: per-rank VQA submission merge (multi-process only)
     if local_slice is not None:
         from vl_merging_tpu.evaluation.downstream import write_vqa_submission
@@ -302,6 +311,7 @@ def launch() -> int:
     assert multi["process_count"] == 2
     assert multi.get("vqa_merge") == "ok"
     assert multi.get("fetch_global") == "ok"
+    assert multi.get("obj_gather") == "ok"
     # recall ratios are quantized (k/N): any difference is a rank flip
     assert multi["recall"] == single["recall"], (single["recall"],
                                                  multi["recall"])

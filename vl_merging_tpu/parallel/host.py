@@ -60,12 +60,24 @@ def process_rows(n_global_rows: int) -> slice:
 
 def all_gather_objects(obj: Any) -> List[Any]:
     """Gather an arbitrary picklable object from every process
-    (reference dist_utils.all_gather, gloo pickled path)."""
+    (reference dist_utils.all_gather:84-122, which likewise pickles to a
+    byte tensor, all-gathers the sizes, pads to the max, then gathers).
+    process_allgather alone only handles same-shaped numeric pytrees, so
+    ragged/string payloads go through the same pickle+pad protocol."""
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj))
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(np.int64(payload.size))
+    sizes = np.asarray(sizes).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[:payload.size] = payload
+    rows = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(rows[r, :int(sizes[r])].tobytes())
+            for r in range(jax.process_count())]
 
 
 def reduce_dict(d: Dict[str, float], average: bool = True) -> Dict[str, float]:
