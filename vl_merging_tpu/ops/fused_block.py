@@ -419,9 +419,13 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
                 + (3 * C * C + C * C + 2 * H1 * C) * 2)
 
     # shrink the batch block until the cell fits (@384 lands on bb=4,
-    # the VQA @480 image half Np=912 on bb=1)
+    # the VQA @480 image half Np=912 on bb=1).  Threshold calibrated
+    # on-chip: at bb=8/Np=592 the estimator said 93 MB but Mosaic's real
+    # scoped allocation was 118.3 MB (compile-time VMEM OOM at the 110 MB
+    # cap) — the est undercounts double-buffering, so gate ~27% below
+    # the budget.  bb=4 (est 66 MB) compiles and runs.
     bb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
-    while bb > 1 and vmem_est(bb) >= 90 * 1024 * 1024:
+    while bb > 1 and vmem_est(bb) >= 70 * 1024 * 1024:
         bb //= 2
     bb_env = os.environ.get("VLM_TPU_EVAL_BLOCK_BB", "")
     if _FUSE_EVAL_BLOCK and bb_env:
@@ -436,9 +440,9 @@ def fused_eval_block(x, ln1_w, ln1_b, w_qkv, qkv_bias, bias, mask, scale,
           and C % 128 == 0 and num_heads % 2 == 0 and head_dim == 64
           and Np % 16 == 0 and 256 <= Np <= 1024
           and w_qkv.shape == (3 * C, C) and H1 % 128 == 0
-          and vmem_est(bb) < 90 * 1024 * 1024)
+          and vmem_est(bb) < 70 * 1024 * 1024)
     if _FUSE_EVAL_BLOCK and bb_env and not ok \
-            and vmem_est(bb) >= 90 * 1024 * 1024:
+            and vmem_est(bb) >= 70 * 1024 * 1024:
         raise ValueError(
             f"VLM_TPU_EVAL_BLOCK_BB={bb_env!r}: ~{vmem_est(bb) >> 20} MB "
             f"VMEM at bb={bb}, Np={Np} exceeds the budget")
