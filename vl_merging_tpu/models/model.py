@@ -171,9 +171,11 @@ def _seq_pad(spec: ModelSpec, n: int) -> int:
     blocks — Mosaic pads the trailing dim of the (bb, N, N) logits tile
     internally.  577 → 592 instead of 640 cuts ~7.5% of every projection/
     MLP row and logit row vs full lane (128) alignment."""
+    from ..ops.attention import PACKED_MIN_N
     from .mome import _USE_PALLAS
 
-    if not _USE_PALLAS.get() or n % 16 == 0 or n < 256:
+    if not _USE_PALLAS.get() or n % 16 == 0 or (n + 15) // 16 * 16 < \
+            PACKED_MIN_N:
         return n
     return (n + 15) // 16 * 16
 

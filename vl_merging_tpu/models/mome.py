@@ -58,7 +58,8 @@ def attention(
     reference: vision_transformer.py:329-363.  The fused Pallas path
     (ops/attention.py) keeps the (N,N) logits in VMEM.
     """
-    from ..ops.attention import fused_attention, packed_fused_attention
+    from ..ops.attention import (
+        PACKED_MIN_N, fused_attention, packed_fused_attention)
 
     tap_add(prefix, x)  # gram tap: attention-module input (post-LN)
     B, N, C = x.shape
@@ -73,7 +74,7 @@ def attention(
     packed_ok = (
         _USE_PALLAS.get()
         and jax.default_backend() == "tpu"
-        and N % 16 == 0 and N >= 256
+        and N % 16 == 0 and N >= PACKED_MIN_N
         and head_dim == 64 and num_heads % 2 == 0
         and rel_bias is not None and mask is not None
         and logits_dtype == jnp.float32

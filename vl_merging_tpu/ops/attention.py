@@ -30,6 +30,14 @@ import numpy as np
 MIN_PALLAS_N = 128
 _INTERPRET = False  # tests flip this to run the packed kernels off-TPU
 
+# Minimum sequence length for the packed-qkv kernel path.  @224 training
+# (N=237→240) was long excluded by a hard-coded 256, which meant the fused
+# Pallas backward — the combo that wins 1.78× at @384 — had never actually
+# been measured at the pretrain shape (the old "packed loses at @224"
+# numbers were the split whole-row kernel with the XLA-recompute backward).
+# Env-tunable for probing: VLM_TPU_PACKED_MIN_N.
+PACKED_MIN_N = int(os.environ.get("VLM_TPU_PACKED_MIN_N", "256"))
+
 # The single-kernel LN+qkv+attention fusion (ln_qkv_attention): interpret-
 # parity-pinned but NOT yet measured on-chip, so default OFF; flip with
 # VLM_TPU_FUSE_LN_QKV_ATTN=1 (tools/block_fusion_probe.py measures it).
@@ -618,7 +626,8 @@ def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
     B, N, threeC = qkv.shape
     C = threeC // 3
     head_dim = C // num_heads
-    ok = (jax.default_backend() == "tpu" and N % 16 == 0 and N >= 256
+    ok = (jax.default_backend() == "tpu" and N % 16 == 0
+          and N >= PACKED_MIN_N
           and head_dim == 64 and num_heads % 2 == 0
           and bias is not None)
     if not ok:
@@ -626,7 +635,17 @@ def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
     # VMEM: s tile (bb,Np,Np) f32 + bias pair + 3 input blocks; bb=8 fits
     # through Np=640, bb=2 through Np=1024 (VQA @480); larger N uses the
     # split path.
-    if N <= 640:
+    bb_env = os.environ.get("VLM_TPU_PACKED_BB")
+    if bb_env and B % int(bb_env) == 0:
+        bb = int(bb_env)
+    elif N <= 320:
+        # short rows (@224 pretrain N=240): per-cell work is tiny, so take
+        # the largest batch block that divides B — at B=22 that's the whole
+        # batch (grid = H/2 cells); the (bb,Np,Np) f32 logits tile stays
+        # well under VMEM (22·240·240 f32 ≈ 5 MB)
+        bb = next(d for d in (32, 24, 22, 16, 12, 11, 8, 4, 2, 1)
+                  if B % d == 0)
+    elif N <= 640:
         bb = 8 if B % 8 == 0 else (4 if B % 4 == 0 else
                                    (2 if B % 2 == 0 else 1))
     elif N <= 1024:
