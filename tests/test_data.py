@@ -391,6 +391,48 @@ def test_tsv_composite_plain_with_linelist(tmp_path):
     assert ds._caption(1, 1) == "two 1"
 
 
+def test_new_imagenet_tsv_dataset(tmp_path):
+    """new_imagenet port (reference new_imagenet_dataset.py:8-42): caption
+    TSV rows are class-annotation json; text = first annotation's 'class'
+    string; class_label is hard-set to 0 (the reference parses then
+    overwrites it)."""
+    import base64
+    import json as _json
+
+    import yaml as _yaml
+
+    from fixtures import _jpeg_bytes
+    from vl_merging_tpu.data.datasets import dataset_class
+    from vl_merging_tpu.data.text import build_tokenizer, write_tiny_vocab
+    from vl_merging_tpu.data.tsv import write_tsv
+
+    rng = np.random.RandomState(2)
+    root = str(tmp_path)
+    vis, cap = [], []
+    classes = ["tench", "goldfish", "shark"]
+    for r, cls_name in enumerate(classes):
+        b64 = base64.b64encode(_jpeg_bytes(rng, 48)).decode()
+        vis.append([f"k{r}", b64])
+        cap.append([f"k{r}", _json.dumps([{"class": cls_name}])])
+    write_tsv(vis, os.path.join(root, "vis.tsv"))
+    write_tsv(cap, os.path.join(root, "cap.tsv"))
+    with open(os.path.join(root, "train_imagenet-22k_30.yaml"), "w") as f:
+        _yaml.safe_dump({"img": "vis.tsv", "caption": "cap.tsv"}, f)
+
+    vocab = os.path.join(root, "vocab.txt")
+    write_tiny_vocab(vocab, classes)
+    tok = build_tokenizer(vocab)
+
+    ds = dataset_class("new_imagenet")(
+        root, ["square_transform"], image_size=32, split="train",
+        max_text_len=8, tokenizer=tok, patch_size=16)
+    assert len(ds) == 3
+    item = ds[1]
+    assert item["image"].shape == (3, 32, 32)
+    assert item["text"] == "goldfish"
+    assert item["class_label"] == 0  # reference :28 quirk
+
+
 def test_didemo_dataset(tmp_path):
     """DiDeMo port (reference didemo_dataset.py:6-40): shared img_didemo.tsv
     for every split, txt_didemo-retrieval.json caption lists flattened

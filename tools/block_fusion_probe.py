@@ -157,7 +157,7 @@ def tower_vqa(variants=("split", "qkv", "mega")):
     spec = make_model_spec(cfg)
     params = eval_cast_params(init_params(spec, seed=0), spec, cfg)
 
-    B = 32
+    B = int(os.environ.get("VQA_B", "32"))
     rng = np.random.RandomState(0)
     batch = {
         "text_ids": jnp.asarray(

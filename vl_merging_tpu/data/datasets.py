@@ -288,11 +288,14 @@ def _register_video():
 
 
 def _register_tsv_composites():
-    from .tsv import CCSVWDataset, CCSVDataset
+    from .tsv import CCSVWDataset, CCSVDataset, NewImageNetTSVDataset
 
     # reference datamodules/__init__.py:33-34
     _DATASETS["ccsvw"] = CCSVWDataset
     _DATASETS["ccsv"] = CCSVDataset
+    # vestigial in the reference (new_imagenet_dataset.py has no
+    # datamodule); registered here so the port is reachable
+    _DATASETS["new_imagenet"] = NewImageNetTSVDataset
 
 
 _register_video()

@@ -410,3 +410,30 @@ class CCSVDataset(TSVCompositeDataset):
         kwargs.pop("yaml_file", None)
         super().__init__(data_dir, *args, split=split,
                          yaml_file=op.join(data_dir, yaml_file), **kwargs)
+
+
+class NewImageNetTSVDataset(TSVCompositeDataset):
+    """IN-22k-as-captioned-TSV variant (reference new_imagenet_dataset.py:
+    8-42 — vestigial there: never imported by a datamodule).
+
+    The caption TSV's json rows are class annotations; the text fed to the
+    model is the first annotation's ``class`` string, and ``class_label``
+    is hard-set to 0 (reference :28 — the int label is parsed then
+    overwritten; kept verbatim for parity)."""
+
+    def __init__(self, data_dir, *args, split: str = "", **kwargs):
+        yaml_file = ("train_imagenet-22k_30.yaml" if split == "train"
+                     else "val_imagenet-22k.yaml")
+        kwargs.pop("yaml_file", None)
+        super().__init__(data_dir, *args, split=split,
+                         yaml_file=op.join(data_dir, yaml_file), **kwargs)
+
+    def _caption(self, img_idx: int, cap_idx: int) -> str:
+        row = self.cap_tsv[img_idx]
+        label = json.loads(row[1])
+        return f"{label[0]['class']}"
+
+    def __getitem__(self, index: int) -> Dict:
+        ret = super().__getitem__(index)
+        ret["class_label"] = 0  # reference :28 parses then discards it
+        return ret
