@@ -432,6 +432,13 @@ def test_new_imagenet_tsv_dataset(tmp_path):
     assert item["text"] == "goldfish"
     assert item["class_label"] == 0  # reference :28 quirk
 
+    # image_only suites never call get_text, so the key is absent
+    # (reference emits class_label only from get_text :27-37)
+    ds_img = dataset_class("new_imagenet")(
+        root, ["square_transform"], image_size=32, split="train",
+        max_text_len=8, tokenizer=tok, patch_size=16, image_only=True)
+    assert "class_label" not in ds_img[1]
+
 
 def test_didemo_dataset(tmp_path):
     """DiDeMo port (reference didemo_dataset.py:6-40): shared img_didemo.tsv

@@ -435,5 +435,9 @@ class NewImageNetTSVDataset(TSVCompositeDataset):
 
     def __getitem__(self, index: int) -> Dict:
         ret = super().__getitem__(index)
-        ret["class_label"] = 0  # reference :28 parses then discards it
+        # the reference emits class_label only from get_text (:27-37 —
+        # parses the int label, then overwrites it with 0); image_only
+        # suites never see the key
+        if not self.image_only and self.tokenizer is not None:
+            ret["class_label"] = 0
         return ret
