@@ -1,0 +1,146 @@
+"""W8A8 int8 eval kernels (ops/int8.py).
+
+Kernel-level: the Pallas kernels (interpret mode off-TPU) must match the
+jnp reference compositions of the SAME quantized math exactly — the
+reference compositions are what the CPU fallback runs and what the
+on-chip parity probe (tools/int8_parity_probe.py) baselines against.
+Accuracy-level: quantized outputs must track the unquantized linear
+within W8A8's expected error envelope on realistic magnitudes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vl_merging_tpu.ops import int8 as i8
+from vl_merging_tpu.ops.fused_block import LN_EPS
+
+
+@pytest.fixture(autouse=True)
+def _interpret_kernels(monkeypatch):
+    monkeypatch.setattr(i8, "_INTERPRET", True)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = rng.randn(256, 128).astype(np.float32) * 0.05
+    q, s = i8.quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (256,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    # symmetric per-channel: error <= scale/2 per element
+    assert np.abs(deq - w).max() <= np.asarray(s).max() / 2 + 1e-7
+    # each row's absmax hits ±127 exactly
+    assert (np.abs(np.asarray(q)).max(axis=1) == 127).all()
+
+
+def test_ln_linear_i8_kernel_matches_reference():
+    rng = np.random.RandomState(1)
+    B, N, C, O = 2, 512, 256, 384
+    x = _rand(rng, B, N, C).astype(jnp.bfloat16)
+    ln_w, ln_b = _rand(rng, C), _rand(rng, C) * 0.1
+    wq, ws = i8.quantize_weight(_rand(rng, O, C) * 0.05)
+    b = _rand(rng, O) * 0.1
+
+    got = i8.ln_linear_i8(x, ln_w, ln_b, wq, ws, b, use_pallas=True)
+    want = i8.ref_ln_linear_i8(x, ln_w, ln_b, wq, ws, b)
+    _assert_near_exact(got, want)
+
+
+def _assert_near_exact(got, want, max_mismatch=1e-4):
+    """Kernel vs jnp composition: identical math, but FMA contraction can
+    flip round-to-nearest exactly at a quantization tie — tolerate <=
+    1e-4 of elements off, each by <= 1 bf16 ulp (measured 1.5e-5)."""
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    mism = (g != w)
+    assert mism.mean() <= max_mismatch, mism.mean()
+    ulp = np.maximum(np.abs(w), 2.0 ** -6) * 2.0 ** -7  # 1 bf16 ulp
+    assert (np.abs(g - w) <= ulp + 1e-7).all(), np.abs(g - w).max()
+
+
+def test_proj_mlp_tail_i8_kernel_matches_reference():
+    rng = np.random.RandomState(2)
+    B, N, C, H = 2, 512, 256, 512
+    ctx = _rand(rng, B, N, C).astype(jnp.bfloat16)
+    res = _rand(rng, B, N, C).astype(jnp.bfloat16)
+    pq, ps = i8.quantize_weight(_rand(rng, C, C) * 0.05)
+    bp = _rand(rng, C) * 0.1
+    g1, g2 = _rand(rng, C) * 0.1, _rand(rng, C) * 0.1
+    ln_w, ln_b = _rand(rng, C), _rand(rng, C) * 0.1
+    w1q, w1s = i8.quantize_weight(_rand(rng, H, C) * 0.05)
+    b1 = _rand(rng, H) * 0.1
+    w2q, w2s = i8.quantize_weight(_rand(rng, C, H) * 0.05)
+    b2 = _rand(rng, C) * 0.1
+
+    got = i8.proj_mlp_tail_i8(ctx, pq, ps, bp, g1, res, ln_w, ln_b,
+                              w1q, w1s, b1, w2q, w2s, b2, g2,
+                              use_pallas=True)
+    want = i8.ref_proj_mlp_tail_i8(ctx, pq, ps, bp, g1, res, ln_w, ln_b,
+                                   w1q, w1s, b1, w2q, w2s, b2, g2)
+    # three chained quantizers: a single tie-flip upstream (FMA
+    # contraction differences) perturbs that row's LN stats and cascades
+    # through the row — measured 0.23% of elements, max 2 bf16 ulp,
+    # mean 4e-6.  A real kernel bug (wrong scale, missing bias, swapped
+    # weights) moves the MEAN by orders of magnitude.
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    assert (g != w).mean() <= 0.01
+    assert np.abs(g - w).max() <= 0.05
+    assert np.abs(g - w).mean() <= 1e-4
+
+
+def test_w8a8_tracks_exact_linear():
+    """Accuracy envelope: per-token + per-channel symmetric W8A8 on
+    LN-normalized activations stays within ~1% relative of the exact
+    matmul (the envelope the on-chip drift probe quantifies at model
+    scale)."""
+    rng = np.random.RandomState(3)
+    B, N, C, O = 2, 512, 256, 384
+    x = _rand(rng, B, N, C)
+    ln_w = jnp.ones((C,))
+    ln_b = jnp.zeros((C,))
+    w = _rand(rng, O, C) * 0.05
+    b = jnp.zeros((O,))
+    wq, ws = i8.quantize_weight(w)
+
+    got = np.asarray(
+        i8.ref_ln_linear_i8(x, ln_w, ln_b, wq, ws, b), np.float32)
+    xn = np.asarray(x)
+    mean = xn.mean(-1, keepdims=True)
+    var = ((xn - mean) ** 2).mean(-1, keepdims=True)
+    xs = (xn - mean) / np.sqrt(var + LN_EPS)
+    want = xs @ np.asarray(w).T
+    denom = np.abs(want).mean()
+    assert np.abs(got - want).mean() / denom < 0.01
+
+
+def test_quantize_eval_params_selects_block_projections():
+    params = {
+        "transformer.blocks.0.attn.qkv.weight": np.ones((6, 2), np.float32),
+        "transformer.blocks.0.attn.v.proj.weight": np.ones((2, 2),
+                                                           np.float32),
+        "transformer.blocks.3.mlp.vl.fc1.weight": np.ones((8, 2),
+                                                          np.float32),
+        "transformer.blocks.3.mlp.vl.fc1.bias": np.ones((8,), np.float32),
+        "transformer.norm.weight": np.ones((2,), np.float32),
+        "mlm_score.decoder.weight": np.ones((4, 2), np.float32),
+    }
+    out = i8.quantize_eval_params(params)
+    added = sorted(k for k in out if k not in params)
+    assert added == [
+        "transformer.blocks.0.attn.qkv.weight::int8",
+        "transformer.blocks.0.attn.qkv.weight::scale8",
+        "transformer.blocks.0.attn.v.proj.weight::int8",
+        "transformer.blocks.0.attn.v.proj.weight::scale8",
+        "transformer.blocks.3.mlp.vl.fc1.weight::int8",
+        "transformer.blocks.3.mlp.vl.fc1.weight::scale8",
+    ]
+    # originals untouched
+    for k in params:
+        np.testing.assert_array_equal(out[k], params[k])

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Input-pipeline-INCLUDED training step (VERDICT r3 #7).
+
+Every training number so far (137 ex/s/chip) feeds one synthetic
+device-resident batch; this probe runs real jpegs through the threaded
+loader (decode + RandAugment + collate + WWM-style MLM masking) feeding
+``make_train_step`` on the TPU, and reports ex/s with a host-vs-device
+phase split so the bottleneck is NAMED (reference hot loop:
+src/vilt/datasets/base_dataset.py:183-253 runs this in torch DataLoader
+worker processes).
+
+Caveat printed with the result: this dev box has ONE cpu core (CLAUDE.md)
+— a real v5e host has dozens, so the host-side ex/s here is a floor, and
+the per-image host COST (ms of CPU per example) is the portable number.
+
+Run: python tools/train_pipeline_probe.py [n_images] [steps]
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+
+def _write_fixture(root: str, n_images: int, size: int = 448) -> None:
+    """COCO-shaped arrow with realistically-sized jpegs (COCO averages
+    ~640x480; tests use 64px thumbnails that would understate decode)."""
+    import io
+    import random
+
+    import pyarrow as pa
+    from PIL import Image
+
+    from fixtures import WORDS, _write
+
+    nprng = np.random.RandomState(0)
+    rng = random.Random(0)
+    rows = []
+    for i in range(n_images):
+        # low-frequency content compresses like a real photo (pure noise
+        # jpegs decode unrealistically slowly at high quality)
+        small = (nprng.rand(size // 8, size // 8, 3) * 255).astype(np.uint8)
+        img = Image.fromarray(small).resize((size + 64, size),
+                                            Image.BICUBIC)
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        caps = [" ".join(rng.choice(WORDS) for _ in range(rng.randint(6, 14)))
+                for _ in range(5)]
+        rows.append([buf.getvalue(), caps, f"COCO_{i:012d}.jpg", "train"])
+    table = pa.Table.from_arrays(
+        [pa.array([r[j] for r in rows]) for j in range(4)],
+        names=["image", "caption", "image_id", "split"])
+    _write(table, os.path.join(root, "coco_caption_karpathy_train.arrow"))
+
+
+def main(n_images=256, steps=8):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fixtures import WORDS
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.data.datamodule import MTDataModule
+    from vl_merging_tpu.data.text import write_tiny_vocab
+    from vl_merging_tpu.models import make_model_spec, init_params
+    from vl_merging_tpu.train import (
+        init_train_state, make_optimizer, make_schedule, make_train_step)
+
+    B = 22                       # the reference's per-GPU batch
+    root = tempfile.mkdtemp(prefix="trainpipe_")
+    _write_fixture(root, n_images)
+    vocab = os.path.join(root, "vocab.txt")
+    write_tiny_vocab(vocab, list(WORDS))
+
+    cfg = build_config(
+        "task_mlm_itm_ifm_square_randaug_base", "all_moe",
+        overrides=dict(precision="bf16", max_steps=1000, warmup_steps=0,
+                       data_root=root, datasets=["coco"], tokenizer=vocab,
+                       num_workers=4, per_device_batch_size=B,
+                       batch_size=B))
+    spec = make_model_spec(cfg)
+    params = init_params(spec, seed=0)
+    sched = make_schedule(cfg, cfg["max_steps"])
+    opt = make_optimizer(params, cfg, cfg["max_steps"], sched)
+    state = init_train_state(params, opt, seed=0)
+    step_fn = make_train_step(cfg, spec, opt, donate=True)
+
+    dm = MTDataModule(cfg)
+    loader = dm.train_loader(B)
+
+    def to_device(b):
+        out = {}
+        for k in ("text_ids", "text_ids_mlm", "text_labels_mlm",
+                  "text_masks", "image"):
+            v = b[k]
+            out[k] = jnp.asarray(np.asarray(v))
+        return out
+
+    # compile off the clock
+    it = iter(loader)
+    first = to_device(next(it))
+    state, m = step_fn(state, first)
+    np.asarray(m["total_loss"])
+
+    host_s = 0.0
+    feed_s = 0.0
+    n_done = 0
+    t0 = time.time()
+    for _ in range(steps):
+        th = time.time()
+        try:
+            b = next(it)
+        except StopIteration:
+            it = iter(loader)
+            b = next(it)
+        host_s += time.time() - th
+        tf_ = time.time()
+        db = to_device(b)
+        feed_s += time.time() - tf_
+        state, m = step_fn(state, db)
+        n_done += db["image"].shape[0]
+    np.asarray(m["total_loss"])
+    total = time.time() - t0
+
+    # host-only cost per example, measured without the device in the loop
+    it2 = iter(loader)
+    next(it2)
+    t1 = time.time()
+    n_host = 0
+    for _ in range(min(4, steps)):
+        b = next(it2)
+        n_host += len(b["text_ids"])
+    host_only = (time.time() - t1) / n_host
+
+    print(json.dumps({
+        "probe": "train_pipeline_e2e",
+        "examples_per_sec": round(n_done / total, 2),
+        "steps": steps, "batch": B,
+        "phase_split_s": {"host_next_batch": round(host_s, 2),
+                          "device_feed": round(feed_s, 2),
+                          "total": round(total, 2)},
+        "host_only_ms_per_example": round(host_only * 1e3, 2),
+        "device_only_ex_per_sec_reference": 137.1,
+        "note": ("single-core dev box; host ms/example is the portable "
+                 "number — a v5e host with N cores divides it by ~N"),
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 8)

@@ -157,6 +157,13 @@ def base_config() -> ConfigDict:
         # tools/bf16_logits_train_probe.py) but the reference computes f32
         # logits even under AMP, so it stays opt-in.
         attention_logits_dtype="f32",
+        # W8A8 int8 eval projections (ops/int8.py): measured ~2x MXU rate
+        # on v5e (373 TOP/s vs 190 TF/s bf16, tools/int8_probe.py).
+        # Accuracy-gated opt-in like bf16 logits: per-channel int8 weights
+        # + per-token dynamic int8 activations for qkv/proj/fc1/fc2;
+        # attention logits stay f32.  Drift bounds:
+        # tools/int8_parity_probe.py.
+        eval_int8=False,
         # Pallas fast path in train/eval steps (eval CLIs/bench always use
         # it).  None = auto: ON for training when image_len >= 577 (@384+,
         # where the packed fwd + fused bwd kernels measured 1.5-1.8x,

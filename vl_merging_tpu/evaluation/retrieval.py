@@ -183,8 +183,20 @@ def itm_rerank_scores(
     (SURVEY §3.2: ranking is pure ITC); this is the standard
     ITC-rank + ITM-rerank protocol as an opt-in extension.
     """
+    from ..ops.fused_block import fusion_gates
+
     scores = itc_scores.astype(jnp.float32)
     chunk = max(1, pair_batch // topk)
+    rerank = _make_rerank_fn(spec, topk, chunk, fusion_gates())
+    return rerank(params, text_ids, text_masks, images, scores,
+                  query_is_image=(axis == 1))
+
+
+@functools.lru_cache(maxsize=16)
+def _make_rerank_fn(spec: ModelSpec, topk: int, chunk: int, _gates):
+    """Jitted scan-chunked reranker, cached by (spec, topk, chunk, fusion
+    gates) so repeated calls — both directions, val+test, bench warm+timed
+    — reuse one trace instead of recompiling per call."""
 
     def pair_logprob(p, ti, tm, im):
         from ..models.mome import pallas_attention
@@ -229,8 +241,7 @@ def itm_rerank_scores(
         new = jnp.where(jnp.isfinite(new), new, qsc - 1e8)
         return new if query_is_image else new.T
 
-    return rerank(params, text_ids, text_masks, images, scores,
-                  query_is_image=(axis == 1))
+    return rerank
 
 
 def compute_irtr_recall(

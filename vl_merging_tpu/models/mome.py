@@ -254,6 +254,26 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
     qkv_bias = jnp.concatenate(
         [q_bias, jnp.zeros_like(q_bias), params[f"{ap}.v_bias"]])
     scale = (spec.hidden_size // spec.num_heads) ** -0.5
+
+    if spec.eval_int8 and f"{ap}.qkv.weight::int8" in params:
+        # W8A8 eval mode (ops/int8.py): quantized companions were added
+        # by quantize_eval_params; projections run int8 on the MXU at
+        # ~2x the bf16 rate, attention keeps f32 logits
+        from ..ops.int8 import fused_eval_block_i8
+
+        def qw(name):
+            return (params[f"{name}::int8"], params[f"{name}::scale8"])
+
+        return fused_eval_block_i8(
+            x, params[f"{n1}.weight"], params[f"{n1}.bias"],
+            *qw(f"{ap}.qkv.weight"), qkv_bias, rel_bias, mask, scale,
+            spec.num_heads, *qw(f"{ap}.proj.weight"),
+            params[f"{ap}.proj.bias"], params[f"{p}.gamma_1"],
+            params[f"{n2}.weight"], params[f"{n2}.bias"],
+            *qw(f"{mp}.fc1.weight"), params[f"{mp}.fc1.bias"],
+            *qw(f"{mp}.fc2.weight"), params[f"{mp}.fc2.bias"],
+            params[f"{p}.gamma_2"], use_pallas=True)
+
     # One entry for the whole block; routes by env gate (bit-identical
     # everywhere): VLM_TPU_FUSE_EVAL_BLOCK=1 -> single megakernel,
     # VLM_TPU_FUSE_LN_QKV_ATTN=1 -> LN+qkv folded into attention, default

@@ -76,6 +76,8 @@ class ModelSpec:
     compute_dtype: str           # "bfloat16" | "float32"
     remat: bool = False          # rematerialize blocks in the bwd pass
     attention_logits_dtype: str = "f32"  # "f32" parity | "bf16" fast eval
+    eval_int8: bool = False      # W8A8 eval projections (ops/int8.py);
+                                 # attention stays f32-logit
     num_frames: int = 1          # video frames (reference config.py:56)
     distilled: bool = False      # DeiT dist token + abs pos embeds
                                  # (vision_transformer.py:1011-1027)
@@ -196,6 +198,7 @@ def make_model_spec(cfg: dict) -> ModelSpec:
         compute_dtype="bfloat16" if cfg["precision"] == "bf16" else "float32",
         remat=cfg["use_remat"],
         attention_logits_dtype=cfg["attention_logits_dtype"],
+        eval_int8=cfg["eval_int8"],
         num_frames=cfg["num_frames"],
         distilled="distilled" in cfg["vit"],
     )

@@ -49,8 +49,12 @@ def eval_cast_params(params, spec, cfg):
     bit-identical to feeding the f32 masters."""
     if (spec.compute_dtype != "bfloat16"
             or not cfg.get("eval_params_bf16", True)):
+        if spec.eval_int8:
+            from ..ops.int8 import quantize_eval_params
+
+            return quantize_eval_params(params)
         return params
-    return {
+    out = {
         k: (v.astype(jnp.bfloat16)
             if (hasattr(v, "dtype") and v.dtype == jnp.float32
                 and v.ndim >= 2 and k.endswith(".weight")
@@ -58,6 +62,15 @@ def eval_cast_params(params, spec, cfg):
                 and not k.startswith("text_embeddings."))
             else v)
         for k, v in params.items()}
+    if spec.eval_int8:
+        # W8A8 eval mode: add int8 companions (quantized from the f32
+        # masters — exact over the bf16 cast) for the block projections;
+        # mome._block_fast routes through ops/int8 when it sees them
+        from ..ops.int8 import quantize_eval_params
+
+        q = quantize_eval_params(params)
+        out.update({k: v for k, v in q.items() if k not in params})
+    return out
 
 
 def pad_to_multiple(batch: Dict, size: int):
