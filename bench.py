@@ -69,41 +69,19 @@ def _make_jpegs(n, seed=0):
     return out
 
 
-def _pil_decode_resize(jpegs, size):
+def _decode_native_canvas(jpegs):
+    """Decode jpegs at NATIVE size onto a zero-padded uint8 canvas +
+    (h, w) rows — the resize happens IN-GRAPH on device (ops/image.py;
+    north star).  vs the old decode-and-host-resize this removes the
+    host bicubic entirely and ships ~2x fewer bytes (native 240x320 vs
+    384² pixels)."""
     from PIL import Image
 
-    out = []
-    for jpeg in jpegs:
-        img = Image.open(io.BytesIO(jpeg)).convert("RGB")
-        out.append(np.asarray(img.resize((size, size), Image.BICUBIC),
-                              np.uint8))
-    return np.stack(out)
+    from vl_merging_tpu.ops.image import pack_canvas
 
-
-_DECODE_IMPL = None
-
-
-def _decode_resize_u8_batch(jpegs, size):
-    """(n, S, S, 3) uint8; the native C++ decoder and PIL produce identical
-    bytes (PIL-exact bicubic, tests/test_runtime.py), so pick whichever is
-    FASTER on this host — measured once on the first call (PIL's SIMD
-    resize beats the scalar native bicubic on some hosts)."""
-    global _DECODE_IMPL
-    from vl_merging_tpu import runtime
-
-    if not runtime.available():
-        return _pil_decode_resize(jpegs, size)
-    if _DECODE_IMPL is None:
-        probe = jpegs[: min(8, len(jpegs))]
-        t0 = time.time()
-        runtime.decode_resize_batch_u8(probe, size)
-        t_native = time.time() - t0
-        t0 = time.time()
-        _pil_decode_resize(probe, size)
-        t_pil = time.time() - t0
-        _DECODE_IMPL = (runtime.decode_resize_batch_u8
-                        if t_native <= t_pil else _pil_decode_resize)
-    return _DECODE_IMPL(jpegs, size)
+    imgs = [np.asarray(Image.open(io.BytesIO(j)).convert("RGB"))
+            for j in jpegs]
+    return pack_canvas(imgs)
 
 
 def _measure_link_mbps(jax):
@@ -123,6 +101,40 @@ def _measure_link_mbps(jax):
     return probe.nbytes / 1e6 / (time.time() - t0)
 
 
+_TOWER_CACHE = {}
+
+
+def _e2e_towers(params_key, spec, model, pallas_attention, jax, jnp):
+    """Jitted native-u8-canvas image tower + text tower, cached so the
+    e2e, compute-only, and rerank benches share one trace/compile per
+    fusion state.  The image tower takes the decoded NATIVE-size uint8
+    canvas + per-image (h, w) and runs the WHOLE preprocessing in-graph
+    (north star, SURVEY §7.5): PIL-parity bicubic square resize +
+    inception normalize (ops/image.py) + patchify inside the model —
+    halving the host→device payload vs feeding pre-resized 384² pixels."""
+    from vl_merging_tpu.ops.fused_block import fusion_gates
+    from vl_merging_tpu.ops.image import resize_normalize_nchw
+
+    key = (params_key, spec, fusion_gates())
+    if key in _TOWER_CACHE:
+        return _TOWER_CACHE[key]
+
+    @jax.jit
+    def image_tower_u8(p, canvas, sizes):
+        x = resize_normalize_nchw(canvas, sizes, IMAGE_SIZE)
+        with pallas_attention(True):
+            return model.infer_image_ft(p, spec, {"image": x})["cls_feats"]
+
+    @jax.jit
+    def text_tower(p, ids, masks):
+        with pallas_attention(True):
+            return model.infer_text_ft(
+                p, spec, {"text_ids": ids, "text_masks": masks})["cls_feats"]
+
+    _TOWER_CACHE[key] = (image_tower_u8, text_tower)
+    return image_tower_u8, text_tower
+
+
 def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
     """Full pipeline at reduced scale; returns (images/sec, phases dict).
 
@@ -140,29 +152,15 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
     tiids = np.repeat(np.arange(E2E_IMAGES), E2E_CAPS_PER_IMAGE)
     iids = np.arange(E2E_IMAGES)
 
-    @jax.jit
-    def image_tower_u8(p, u8):
-        # on-device normalize: u8 HWC -> inception-normalized f32 NCHW
-        # ((x/255) - 0.5) / 0.5 — exactly the square_transform eval math
-        x = u8.astype(jnp.float32) / 255.0
-        x = (x - 0.5) / 0.5
-        x = jnp.transpose(x, (0, 3, 1, 2))
-        with pallas_attention(True):
-            return model.infer_image_ft(p, spec, {"image": x})["cls_feats"]
+    image_tower_u8, text_tower = _e2e_towers(
+        id(params), spec, model, pallas_attention, jax, jnp)
 
-    @jax.jit
-    def text_tower(p, ids, masks):
-        with pallas_attention(True):
-            return model.infer_text_ft(
-                p, spec, {"text_ids": ids, "text_masks": masks})["cls_feats"]
-
-    # compile + build the native decoder off the clock (one-time costs,
-    # not eval throughput)
-    warm = np.zeros((E2E_BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)
-    np.asarray(image_tower_u8(params, warm)[:1, :1])
+    # compile off the clock (one-time cost, not eval throughput); warm
+    # with the native canvas shape the decode produces
+    wc, ws = _decode_native_canvas(jpegs[:E2E_BATCH])
+    np.asarray(image_tower_u8(params, np.zeros_like(wc), ws)[:1, :1])
     np.asarray(text_tower(params, jnp.asarray(text_ids[:256]),
                           jnp.asarray(text_masks[:256]))[:1, :1])
-    _decode_resize_u8_batch(jpegs[:2], IMAGE_SIZE)
 
     # decode in a prefetch thread so JPEG work overlaps the host→device
     # transfer (the transfer is IO-wait, not CPU)
@@ -175,9 +173,9 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
     def producer():
         for s in range(0, E2E_IMAGES, E2E_BATCH):
             td = time.time()
-            u8 = _decode_resize_u8_batch(jpegs[s:s + E2E_BATCH], IMAGE_SIZE)
+            cs = _decode_native_canvas(jpegs[s:s + E2E_BATCH])
             decode_cpu[0] += time.time() - td
-            decoded.put(u8)
+            decoded.put(cs)
         decoded.put(None)
 
     phases = {}
@@ -185,10 +183,12 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
     threading.Thread(target=producer, daemon=True).start()
     img_feats = []
     while True:
-        u8 = decoded.get()
-        if u8 is None:
+        cs = decoded.get()
+        if cs is None:
             break
-        img_feats.append(image_tower_u8(params, jnp.asarray(u8)))
+        canvas, sizes = cs
+        img_feats.append(image_tower_u8(params, jnp.asarray(canvas),
+                                        jnp.asarray(sizes)))
     img = jnp.concatenate(img_feats).astype(jnp.float32)
     np.asarray(img[:1, :1])  # drain: decode ∥ feed ∥ tower all complete
     phases["image_phase_s"] = round(time.time() - t0, 2)
@@ -212,6 +212,126 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
     total = time.time() - t0
     phases["total_s"] = round(total, 2)
     return E2E_IMAGES / total, phases
+
+
+def run_e2e_compute(params, spec, model, pallas_attention, jax, jnp,
+                    seed=0):
+    """Compute-only e2e companion (VERDICT r3 #6): decoded uint8 batches
+    PRE-STAGED on device, so the number measures both towers + score
+    matrix + top-k without the dev tunnel's 8-80 MB/s host→device link in
+    the loop.  Each seed decodes fresh jpegs (different data per run —
+    the tunnel cannot dedupe) and the final recall fetch syncs the stream.
+
+    Returns (images/sec, staged) where ``staged`` carries the device
+    buffers for the ITM-rerank bench."""
+    from vl_merging_tpu.evaluation.retrieval import _topk_ids
+
+    jpegs = _make_jpegs(E2E_IMAGES, seed=seed)
+    n_txt = E2E_IMAGES * E2E_CAPS_PER_IMAGE
+    rng = np.random.RandomState(seed + 1)
+    text_ids = rng.randint(0, spec.vocab_size, (n_txt, spec.max_text_len))
+    text_masks = np.ones((n_txt, spec.max_text_len), np.int64)
+    tiids = np.repeat(np.arange(E2E_IMAGES), E2E_CAPS_PER_IMAGE)
+    iids = np.arange(E2E_IMAGES)
+
+    image_tower_u8, text_tower = _e2e_towers(
+        id(params), spec, model, pallas_attention, jax, jnp)
+
+    # stage everything on device, off the clock (native-size canvases;
+    # the resize runs in-graph on device)
+    u8_batches = []
+    for s in range(0, E2E_IMAGES, E2E_BATCH):
+        canvas, sz = _decode_native_canvas(jpegs[s:s + E2E_BATCH])
+        u8_batches.append((jax.device_put(canvas), jax.device_put(sz)))
+    txt_batches = [
+        (jax.device_put(text_ids[s:s + 256]),
+         jax.device_put(text_masks[s:s + 256]))
+        for s in range(0, n_txt, 256)]
+    d_iids, d_tiids = jax.device_put(iids), jax.device_put(tiids)
+    np.asarray(u8_batches[-1][0][0, 0, 0, 0])  # drain the feed
+
+    # warm both tower signatures (compile off the clock; cached from the
+    # link-bound runs anyway)
+    np.asarray(image_tower_u8(params, *u8_batches[0])[:1, :1])
+    np.asarray(text_tower(params, *txt_batches[0])[:1, :1])
+
+    t0 = time.time()
+    img = jnp.concatenate(
+        [image_tower_u8(params, canvas, sz) for canvas, sz in u8_batches]
+    ).astype(jnp.float32)
+    txt = jnp.concatenate(
+        [text_tower(params, ids, masks) for ids, masks in txt_batches]
+    ).astype(jnp.float32)
+    scores = img @ txt.T
+    recalls = _topk_ids(scores, d_iids, d_tiids)
+    float(recalls["tr_r1"])                    # one sync for the stream
+    dt = time.time() - t0
+    staged = dict(u8_batches=u8_batches, txt_batches=txt_batches,
+                  scores=scores, iids=iids, tiids=tiids,
+                  recalls={k: float(v) for k, v in recalls.items()})
+    return E2E_IMAGES / dt, staged
+
+
+def run_itm_rerank(params, spec, model, pallas_attention, staged, jax, jnp,
+                   topk=10, n_img=128):
+    """ITC-rank + ITM-rerank on-chip (VERDICT r3 #5; BASELINE.json config
+    #5).  Reranks the top-k ITC candidates in BOTH directions with the
+    scan-chunked ``itm_rerank_scores`` path at reduced scale (n_img
+    images x 5 captions from the staged compute-only data).  Returns
+    (pairs/sec, recall dict with itc_* and itm_* entries).  The recall
+    VALUES come from random-init weights (released checkpoints are
+    unreachable in this zero-egress env) — the measured quantity is
+    throughput; the recall plumbing is what the deltas document."""
+    from vl_merging_tpu.evaluation.retrieval import (
+        _topk_ids, itm_rerank_scores)
+
+    # the irtr config has no ITM head — inject one (weights random; the
+    # pair-pass COST is weight-independent)
+    hs = spec.hidden_size
+    rng = np.random.RandomState(11)
+    p = dict(params)
+    p["itm_score.fc.weight"] = jnp.asarray(
+        rng.randn(2, hs).astype(np.float32) * 0.02)
+    p["itm_score.fc.bias"] = jnp.zeros((2,), jnp.float32)
+
+    from vl_merging_tpu.ops.image import resize_normalize_nchw
+
+    n_img = min(n_img, len(staged["iids"]))
+    n_txt = n_img * E2E_CAPS_PER_IMAGE
+    images = jnp.concatenate(
+        [resize_normalize_nchw(canvas, sz, IMAGE_SIZE)
+         for canvas, sz in staged["u8_batches"]])[:n_img]
+    text_ids = jnp.concatenate([b[0] for b in staged["txt_batches"]])[:n_txt]
+    text_masks = jnp.concatenate(
+        [b[1] for b in staged["txt_batches"]])[:n_txt]
+    scores = staged["scores"][:n_img, :n_txt]
+    d_iids = jnp.asarray(staged["iids"][:n_img])
+    d_tiids = jnp.asarray(staged["tiids"][:n_txt])
+    np.asarray(images[0, 0, 0, 0])             # drain staging
+
+    def both(sc):
+        tr = itm_rerank_scores(p, spec, text_ids, text_masks, images, sc,
+                               topk, axis=1)
+        ir = itm_rerank_scores(p, spec, text_ids, text_masks, images, sc,
+                               topk, axis=0)
+        out_t = _topk_ids(tr, d_iids, d_tiids)
+        out_i = _topk_ids(ir, d_iids, d_tiids)
+        r = {f"tr_r{k}": float(out_t[f"tr_r{k}"]) for k in (1, 5, 10)}
+        r.update({f"ir_r{k}": float(out_i[f"ir_r{k}"])
+                  for k in (1, 5, 10)})        # fetches sync the stream
+        return tr, r
+
+    tr_warm, _ = both(scores)                  # compile + warm, off-clock
+    # chain the timed run on the warm output so the tunnel cannot dedupe
+    chained = scores + (tr_warm[0, 0] * 0).astype(scores.dtype)
+    t0 = time.time()
+    _, recalls = both(chained)
+    dt = time.time() - t0
+    itc = _topk_ids(scores, d_iids, d_tiids)
+    out = {f"itm_{k}": v for k, v in recalls.items()}
+    out.update({f"itc_{k}": float(v) for k, v in itc.items()})
+    pairs = (n_img + n_txt) * topk
+    return pairs / dt, out
 
 
 def run_train(jax, jnp) -> float:
@@ -435,7 +555,8 @@ def _main_impl() -> None:
     print(json.dumps({
         "metric": "coco_itr_eval_e2e_images_per_sec",
         "value": round(e2e, 2),
-        "unit": ("images/sec e2e (jpeg decode + resize + uint8 feed + both "
+        "unit": ("images/sec e2e (native-size jpeg decode + uint8 canvas "
+                 "feed + IN-GRAPH PIL-parity resize/normalize + both "
                  "towers + score matrix + topk; LINK-BOUND on this dev box "
                  "— see host_to_device_mbps, measured 8-40 MB/s run to "
                  "run; a real v5e host feeds over PCIe at GB/s)"),
@@ -445,6 +566,40 @@ def _main_impl() -> None:
         "phases": phases,
         "fusion_variant": fusion,
     }))
+
+    # compute-only companion (VERDICT r3 #6): same pipeline with the
+    # decoded uint8 pre-staged on device — informative on this dev box
+    # where the link-bound number above swings 6x with tunnel weather
+    comp_first, _ = run_e2e_compute(params, spec, model, pallas_attention,
+                                    jax, jnp, seed=3)
+    comp, staged = run_e2e_compute(params, spec, model, pallas_attention,
+                                   jax, jnp, seed=4)
+    print(json.dumps({
+        "metric": "coco_itr_eval_e2e_compute_images_per_sec",
+        "value": round(comp, 2),
+        "unit": ("images/sec (both towers + score matrix + topk over "
+                 "device-pre-staged uint8; the link-free companion of the "
+                 "e2e metric)"),
+        "vs_baseline": round(comp / BASELINE_A100_IMG_PER_S, 3),
+        "first_run_images_per_sec": round(comp_first, 2),
+        "fusion_variant": fusion,
+    }))
+
+    if os.environ.get("BENCH_SKIP_RERANK", "0") != "1" and E2E_IMAGES <= 512:
+        pairs_per_s, rr = run_itm_rerank(params, spec, model,
+                                         pallas_attention, staged, jax, jnp)
+        print(json.dumps({
+            "metric": "coco_itr_itm_rerank_pairs_per_sec",
+            "value": round(pairs_per_s, 2),
+            "unit": ("ITM pair passes/sec (top-10 rerank of ITC "
+                     "candidates, both directions, scan-chunked single "
+                     "dispatch per direction; ViT-B/16 @384 fused VL "
+                     "pass).  Recalls are from random-init weights "
+                     "(zero-egress env) — throughput is the measurement"),
+            "recalls": {k: round(v, 4) for k, v in sorted(rr.items())},
+            "fusion_variant": fusion,
+        }))
+    del staged
 
     train_ex = run_train(jax, jnp)
     print(json.dumps({

@@ -90,15 +90,33 @@ def main():
                                    w1q, w1s, b1, w2q, w2s, b2, g2,
                                    use_pallas=True)
 
+    @jax.jit
+    def lnqkv_bf16(x):
+        return ln_linear(x, ln_w, ln_b, wq3.astype(jnp.bfloat16), b3,
+                         use_pallas=True)[:, :, :C]
+
+    @jax.jit
+    def lnqkv_i8(x):
+        return i8.ln_linear_i8(x, ln_w, ln_b, q3, s3, b3,
+                               use_pallas=True)[:, :, :C]
+
     # FLOP counts per call (MACs*2)
     fl_lnlin = 2 * B * N * C * (3 * C + C)
+    fl_qkv = 2 * B * N * C * 3 * C
     fl_tail = 2 * B * N * (C * C + 2 * C * H)
-    for name, fn, fl in (("ln_linear(qkv+proj) bf16", lnlin_bf16, fl_lnlin),
-                         ("ln_linear(qkv+proj) int8", lnlin_i8, fl_lnlin),
-                         ("proj_mlp_tail bf16", tail_bf16, fl_tail),
-                         ("proj_mlp_tail int8", tail_i8, fl_tail)):
+    cases = [("ln_qkv bf16", lnqkv_bf16, fl_qkv),
+             ("ln_qkv int8", lnqkv_i8, fl_qkv),
+             ("ln_linear(qkv+proj) bf16", lnlin_bf16, fl_lnlin),
+             ("ln_linear(qkv+proj) int8", lnlin_i8, fl_lnlin),
+             ("proj_mlp_tail bf16", tail_bf16, fl_tail),
+             ("proj_mlp_tail int8", tail_i8, fl_tail)]
+    only = sys.argv[1:] or None
+    for name, fn, fl in cases:
+        if only and not any(o in name for o in only):
+            continue
         dt = slope(fn, x0)
-        print(f"{name}: {dt*1e3:.2f} ms ({fl/dt/1e12:.1f} T/s)", flush=True)
+        print(f"{name} [i8_bm={i8.BLOCK_M}]: {dt*1e3:.2f} ms "
+              f"({fl/dt/1e12:.1f} T/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -44,10 +44,14 @@ def _cubic_filter(x: jax.Array) -> jax.Array:
     return jnp.where(x < 1.0, v1, jnp.where(x < 2.0, v2, 0.0))
 
 
-def _resample_weights(in_size: jax.Array, in_max: int, out_size: int):
+def _resample_weights(in_size: jax.Array, in_max: int, out_size: int,
+                      offset=None):
     """(out_size, in_max) dense PIL resample matrix for a DYNAMIC input
     length ``in_size`` on a canvas of static width ``in_max``
     (decode.cc:85-112: per-output-pixel window + normalized kernel).
+    ``offset`` (dynamic int, default 0) resamples the segment
+    [offset, offset+in_size) of the canvas — crop-then-resize
+    (torchvision F.resized_crop) as one weight matrix.
 
     PIL computes ``center = (xx+0.5)·in/out`` in double; a straight f32
     version loses ~ulp(center) ≈ 1.5e-5, which amplifies to ~100 units of
@@ -67,21 +71,25 @@ def _resample_weights(in_size: jax.Array, in_max: int, out_size: int):
     in_i = in_size.astype(jnp.int32)
     out_i = jnp.int32(out_size)
     mx = jnp.maximum(in_i, out_i)
+    off = jnp.int32(0) if offset is None else offset.astype(jnp.int32)
 
     xx = jnp.arange(out_size, dtype=jnp.int32)            # output pixels
-    x = jnp.arange(in_max, dtype=jnp.int32)               # input pixels
+    x = jnp.arange(in_max, dtype=jnp.int32)               # canvas pixels
 
-    num = (2 * x[None, :] + 1) * out_i - (2 * xx[:, None] + 1) * in_i
+    # crop-local input coordinate x_c = x - off
+    num = (2 * (x[None, :] - off) + 1) * out_i \
+        - (2 * xx[:, None] + 1) * in_i
     arg = num.astype(jnp.float32) / (2 * mx).astype(jnp.float32)
     w = _cubic_filter(arg)                                # (O, in_max)
 
     lo_num = (2 * xx + 1) * in_i - 4 * mx + out_i
     hi_num = (2 * xx + 1) * in_i + 4 * mx + out_i
     den = (2 * out_i).astype(jnp.float32)
-    # C-cast truncation like PIL: int(center ∓ support + 0.5)
-    xmin = jnp.maximum(
+    # C-cast truncation like PIL: int(center ∓ support + 0.5); bounds are
+    # crop-local, shifted onto the canvas by off
+    xmin = off + jnp.maximum(
         0, jnp.trunc(lo_num.astype(jnp.float32) / den).astype(jnp.int32))
-    xmax = jnp.minimum(
+    xmax = off + jnp.minimum(
         in_size, jnp.trunc(hi_num.astype(jnp.float32) / den)
         .astype(jnp.int32))
 

@@ -26,16 +26,20 @@ contract is ACCURACY parity (<=0.1 pt), not numerics parity.
 from __future__ import annotations
 
 import functools
+import os
 import re
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .fused_block import BLOCK_M, _VMEM_LIMIT, _ln_f32
+from .fused_block import _VMEM_LIMIT, _ln_f32
 from .mlp import _erf_gelu, _round_up
 
 _INTERPRET = False  # tests flip this to run the kernels off-TPU
+
+# Row-block size for the int8 kernels (sweepable: tools/int8_kernel_probe)
+BLOCK_M = int(os.environ.get("VLM_TPU_I8_BLOCK_M", "512"))
 
 # params-dict key suffixes for quantized companions of a ".weight" key
 # ("::" cannot collide with reference state_dict names)
