@@ -130,18 +130,27 @@ class RandomAugment:
 def random_resized_crop_params(
     w: int, h: int, scale: Tuple[float, float],
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+    rand=None,
 ) -> Tuple[int, int, int, int]:
-    """torchvision RandomResizedCrop.get_params semantics."""
+    """torchvision RandomResizedCrop.get_params semantics.  ``rand``
+    (optional np.random.RandomState) replaces the global `random` module
+    for deterministic sampling (the in-graph augment path,
+    ops/augment.sample_train_params)."""
+    if rand is None:
+        uniform, randint = random.uniform, random.randint
+    else:
+        uniform = rand.uniform
+        randint = lambda a, b: int(rand.randint(a, b + 1))  # noqa: E731
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
-        target_area = area * random.uniform(*scale)
-        aspect = math.exp(random.uniform(*log_ratio))
+        target_area = area * uniform(*scale)
+        aspect = math.exp(uniform(*log_ratio))
         cw = int(round(math.sqrt(target_area * aspect)))
         ch = int(round(math.sqrt(target_area / aspect)))
         if 0 < cw <= w and 0 < ch <= h:
-            x = random.randint(0, w - cw)
-            y = random.randint(0, h - ch)
+            x = randint(0, w - cw)
+            y = randint(0, h - ch)
             return x, y, cw, ch
     # fallback: center crop at clamped aspect
     in_ratio = w / h
