@@ -289,6 +289,89 @@ def _block_fast(params, spec, b, x, mask, rel_bias, type_id, *, train):
         params[f"{p}.gamma_2"], use_pallas=True)
 
 
+def _block_fast_train(params, spec, b, x, mask, rel_bias, type_id,
+                      dp_scale, text_len, drop_path_rate, rng):
+    """Training-forward fusion (opt-in via VLM_TPU_TRAIN_FUSION, VERDICT
+    r3 #4): LN1+qkv through the differentiable `ln_linear_train` kernel
+    ("full" level), attention through the production train dispatch
+    (packed Pallas + fused VJP at N≥PACKED_MIN_N, XLA elsewhere), and the
+    whole post-attention half through one `proj_mlp_tail_train` kernel
+    with stochastic-depth scales folded into per-batch effective gammas.
+    Backwards are XLA-recompute VJPs of the bit-matching unfused
+    composition, so gradients equal the unfused path's.  Returns None
+    when the routing/shape gates don't apply."""
+    from ..ops import fused_block as fb
+    from ..ops.attention import PACKED_MIN_N, fused_attention, \
+        packed_fused_attention
+    from .taps import _ACTIVE_TAP
+
+    on_tpu = jax.default_backend() == "tpu" or fb._INTERPRET
+    if (fb._TRAIN_FUSION == "0" or not on_tpu
+            or _ACTIVE_TAP.get() is not None):
+        return None
+    if dp_scale is None:
+        if drop_path_rate > 0.0 and rng is not None:
+            return None  # legacy per-block drop-path RNG: keep unfused
+        dp_scale = jnp.ones((2, x.shape[0]), jnp.float32)
+    sfx = {w: _single_expert_suffix(b, type_id, w)
+           for w in ("attn", "mlp", "norm1", "norm2")}
+    if any(v is None for v in sfx.values()):
+        return None
+
+    B, N, C = x.shape
+    H = spec.num_heads
+    head_dim = C // H
+    scale = head_dim ** -0.5
+    ldt = jnp.bfloat16 if spec.attention_logits_dtype == "bf16" \
+        else jnp.float32
+    p = f"transformer.blocks.{b.index}"
+    ap = f"{p}.attn{sfx['attn']}"
+    mp = f"{p}.mlp{sfx['mlp']}"
+    n1 = f"{p}.norm1{sfx['norm1']}"
+    n2 = f"{p}.norm2{sfx['norm2']}"
+
+    q_bias = params[f"{ap}.q_bias"]
+    qkv_bias = jnp.concatenate(
+        [q_bias, jnp.zeros_like(q_bias), params[f"{ap}.v_bias"]])
+    if fb._TRAIN_FUSION == "full":
+        qkv = fb.ln_linear_train(
+            x, params[f"{n1}.weight"], params[f"{n1}.bias"],
+            params[f"{ap}.qkv.weight"], qkv_bias)
+    else:
+        qkv = linear(
+            layer_norm(x, params[f"{n1}.weight"], params[f"{n1}.bias"],
+                       eps=LN_EPS),
+            params[f"{ap}.qkv.weight"], qkv_bias, dtype=x.dtype)
+
+    packed_ok = (
+        _USE_PALLAS.get() and jax.default_backend() == "tpu"
+        and N % 16 == 0 and N >= PACKED_MIN_N
+        and head_dim == 64 and H % 2 == 0
+        and rel_bias is not None and mask is not None
+        and ldt == jnp.float32)
+    if packed_ok:
+        ctx = packed_fused_attention(qkv, rel_bias, mask, scale, H)
+    else:
+        qkv5 = jnp.transpose(qkv.reshape(B, N, 3, H, head_dim),
+                             (2, 0, 3, 1, 4))
+        out = fused_attention(qkv5[0], qkv5[1], qkv5[2], rel_bias, mask,
+                              scale, use_pallas=_USE_PALLAS.get(),
+                              logits_dtype=ldt)
+        ctx = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+
+    def g_eff(s, gamma):
+        g = params[gamma].astype(x.dtype)
+        return dp_scale[s][:, None, None].astype(x.dtype) * g
+
+    return fb.proj_mlp_tail_train(
+        ctx, params[f"{ap}.proj.weight"], params[f"{ap}.proj.bias"],
+        g_eff(0, f"{p}.gamma_1"), x,
+        params[f"{n2}.weight"], params[f"{n2}.bias"],
+        params[f"{mp}.fc1.weight"], params[f"{mp}.fc1.bias"],
+        params[f"{mp}.fc2.weight"], params[f"{mp}.fc2.bias"],
+        g_eff(1, f"{p}.gamma_2"))
+
+
 def block_forward(
     params: Params,
     spec: ModelSpec,
@@ -351,6 +434,13 @@ def block_forward(
                        train=train)
     if fast is not None:
         return fast, None
+    if train:
+        fast = _block_fast_train(params, spec, b, x, mask, rel_bias,
+                                 type_id, dp_scale, text_len,
+                                 drop_path_rate, rng)
+        if fast is not None:
+            # same schedule-stability pin as the unfused train exit below
+            return jax.lax.optimization_barrier(fast), None
 
     def residual(x, branch, gamma, s, r):
         g = params[gamma].astype(branch.dtype)

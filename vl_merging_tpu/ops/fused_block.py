@@ -50,6 +50,20 @@ _FUSE_WHOLE_TAIL = os.environ.get("VLM_TPU_FUSE_PROJ_MLP", "1") != "0"
 # OFF; flip with VLM_TPU_FUSE_EVAL_BLOCK=1 (tools/block_fusion_probe.py).
 _FUSE_EVAL_BLOCK = os.environ.get("VLM_TPU_FUSE_EVAL_BLOCK", "0") == "1"
 
+# Training-forward fusion (VERDICT r3 #4 adopt-or-refute): route the
+# train-time block through ln_linear_train → packed attention (fused
+# Pallas VJP) → proj_mlp_tail_train, with stochastic-depth scales folded
+# into the tail kernel's epilogues and an XLA-recompute backward
+# (jax.vjp of the bit-matching reference composition).  Levels:
+#   "0" (default) — off, the measured XLA(+remat) train path
+#   "tail"        — fuse only the post-attention half (proj_mlp_tail_train)
+#   "full"        — also fuse LN1+qkv (ln_linear_train)
+# Default OFF pending on-chip measurement (tools/train_fusion_probe.py).
+_TRAIN_FUSION = os.environ.get("VLM_TPU_TRAIN_FUSION", "0")
+if _TRAIN_FUSION not in ("0", "tail", "full"):
+    raise ValueError(
+        f"VLM_TPU_TRAIN_FUSION={_TRAIN_FUSION!r}: want 0|tail|full")
+
 
 def fusion_gates():
     """Current eval-fusion gate states — jit traces bake these in, so any
@@ -147,14 +161,17 @@ def _row_call(kernel, x2d, consts, out_dim, extra_row_inputs=()):
         return pl.BlockSpec(c.shape, lambda m, nd=nd: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    row_spec = pl.BlockSpec((BLOCK_M, C), lambda m: (m, 0),
+    def row_of(width):
+        return pl.BlockSpec((BLOCK_M, width), lambda m: (m, 0),
                             memory_space=pltpu.VMEM)
+
+    row_spec = row_of(C)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, out_dim), x2d.dtype),
         grid=(Mp // BLOCK_M,),
         in_specs=[row_spec] + [const_spec(c) for c in consts]
-                 + [row_spec] * len(extra_row_inputs),
+                 + [row_of(e.shape[1]) for e in extra_row_inputs],
         out_specs=pl.BlockSpec((BLOCK_M, out_dim), lambda m: (m, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -246,6 +263,166 @@ def proj_mlp_tail(ctx, wp, bp, gamma1, res, ln_w, ln_b, w1, b1, w2, b2,
                      gamma2),
                     C, extra_row_inputs=(res.reshape(B * N, C),))
     return out.reshape(B, N, C)
+
+
+# --------------------------------------------------------------------------
+# Training-path fused ops (VERDICT r3 #4): Pallas forward, XLA-recompute
+# backward via custom_vjp — the same pairing ops/mlp.fused_mlp ships in
+# production.  The backward's vjp target is the exact unfused train
+# composition (mome._attn_part proj + residual + _mlp_part + residual),
+# so gradients equal the unfused path's bit-for-bit off-TPU and to the
+# kernels' bf16 rounding deltas on-chip.
+# --------------------------------------------------------------------------
+
+
+def _ln_linear_ref(x, ln_w, ln_b, w, b):
+    """Unfused LN→linear exactly as mome's train path computes it."""
+    from ..models.layers import layer_norm, linear
+
+    return linear(layer_norm(x, ln_w, ln_b, eps=LN_EPS), w, b,
+                  dtype=x.dtype)
+
+
+@jax.custom_vjp
+def ln_linear_train(x, ln_w, ln_b, w, b):
+    """Differentiable LN1+qkv fusion for the training forward.
+
+    Forward = the eval ``ln_linear`` Pallas kernel (LN output never
+    touches HBM); backward = VJP of the unfused composition (recomputes
+    LN+matmul in XLA — matching the surgical-remat policy's
+    recompute-the-glue behavior)."""
+    if jax.default_backend() == "tpu" or _INTERPRET:
+        return ln_linear(x, ln_w, ln_b, w, b, use_pallas=True)
+    return _ln_linear_ref(x, ln_w, ln_b, w, b)
+
+
+def _ln_linear_train_fwd(x, ln_w, ln_b, w, b):
+    return ln_linear_train(x, ln_w, ln_b, w, b), (x, ln_w, ln_b, w, b)
+
+
+def _ln_linear_train_bwd(res, g):
+    _, vjp = jax.vjp(_ln_linear_ref, *res)
+    return vjp(g)
+
+
+ln_linear_train.defvjp(_ln_linear_train_fwd, _ln_linear_train_bwd)
+
+
+def _tail_reference(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1, w2, b2, g2):
+    """XLA composition of the post-attention block half exactly as the
+    unfused train path computes it (mome.block_forward's residual():
+    proj output rounds to the block dtype before the per-batch
+    effective-γ multiply; MLP via ops.mlp.reference_mlp).  g1/g2 are the
+    (B, 1, C) effective gammas (γ ⊙ stochastic-depth scale)."""
+    from ..models.layers import layer_norm, linear
+    from .mlp import reference_mlp
+
+    y = linear(ctx, wp, bp, dtype=ctx.dtype)
+    x1 = res + y * g1.astype(y.dtype)
+    xn = layer_norm(x1, ln_w, ln_b, eps=LN_EPS)
+    y2 = reference_mlp(xn, w1, b1, w2, b2)
+    return x1 + y2 * g2.astype(y2.dtype)
+
+
+def _tail_train_kernel(x_ref, wp_ref, bp_ref, lnw_ref, lnb_ref, w1_ref,
+                       b1_ref, w2_ref, b2_ref, g1_ref, g2_ref, res_ref,
+                       o_ref):
+    """Per-batch-element cell of the train tail: identical math to
+    `_proj_mlp_kernel` but γ1/γ2 arrive as this element's (1, 1, C)
+    effective scales (stochastic depth folded in)."""
+    y = jax.lax.dot_general(
+        x_ref[0], wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = (y + bp_ref[...].astype(jnp.float32)) * g1_ref[0].astype(jnp.float32)
+    x1 = (res_ref[0].astype(jnp.float32) + y).astype(x_ref.dtype)
+
+    xn = _ln_f32(x1, lnw_ref, lnb_ref).astype(x_ref.dtype)
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = _erf_gelu(h + b1_ref[...].astype(jnp.float32))
+    y2 = jax.lax.dot_general(
+        h.astype(x_ref.dtype), w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y2 = (y2 + b2_ref[...].astype(jnp.float32)) * g2_ref[0].astype(
+        jnp.float32)
+    o_ref[0] = (x1.astype(jnp.float32) + y2).astype(o_ref.dtype)
+
+
+def _tail_train_pallas(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1, w2, b2,
+                       g2):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = ctx.shape
+    H1 = w1.shape[0]
+    Np = _round_up(N, 16)
+    if Np != N:
+        ctx = jnp.pad(ctx, ((0, 0), (0, Np - N), (0, 0)))
+        res = jnp.pad(res, ((0, 0), (0, Np - N), (0, 0)))
+
+    def const(c):
+        nd = c.ndim
+        return pl.BlockSpec(c.shape, lambda bi, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    row = pl.BlockSpec((1, Np, C), lambda bi: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, 1, C), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    consts = (wp.astype(ctx.dtype), bp, ln_w, ln_b, w1.astype(ctx.dtype),
+              b1, w2.astype(ctx.dtype), b2)
+    out = pl.pallas_call(
+        _tail_train_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), ctx.dtype),
+        grid=(B,),
+        in_specs=[row] + [const(c) for c in consts] + [gspec, gspec, row],
+        out_specs=row,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * C * (C + 2 * H1),
+            transcendentals=Np * H1,
+            bytes_accessed=3 * Np * C * 2 + (C * C + 2 * H1 * C) * 2),
+        interpret=_INTERPRET,
+    )(ctx, *consts, g1.astype(ctx.dtype), g2.astype(ctx.dtype), res)
+    return out[:, :N] if Np != N else out
+
+
+@jax.custom_vjp
+def proj_mlp_tail_train(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1, w2, b2,
+                        g2):
+    """Differentiable post-attention block half for the training forward:
+    proj + γ1·dp residual + LN2 + MLP + γ2·dp residual in one
+    batch-gridded Pallas kernel (the intermediate x' and the (N, 4C)
+    hidden never touch HBM).  g1/g2: (B, 1, C) effective gammas.
+    Backward = VJP of `_tail_reference` (XLA recompute)."""
+    B, N, C = ctx.shape
+    H1 = w1.shape[0]
+    ok = ((jax.default_backend() == "tpu" or _INTERPRET)
+          and C % 128 == 0 and H1 % 128 == 0 and wp.shape[0] == C
+          # per-cell VMEM: weights + (Np, H1) f32 hidden + 3 row blocks
+          and (2 * H1 * C + C * C) * 2 + _round_up(N, 16) * H1 * 4
+          + 6 * _round_up(N, 16) * C * 2 < 70 * 1024 * 1024)
+    if not ok:
+        return _tail_reference(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1,
+                               w2, b2, g2)
+    return _tail_train_pallas(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1,
+                              w2, b2, g2)
+
+
+def _tail_train_fwd(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1, w2, b2, g2):
+    out = proj_mlp_tail_train(ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1,
+                              w2, b2, g2)
+    return out, (ctx, wp, bp, g1, res, ln_w, ln_b, w1, b1, w2, b2, g2)
+
+
+def _tail_train_bwd(saved, g):
+    _, vjp = jax.vjp(_tail_reference, *saved)
+    return vjp(g)
+
+
+proj_mlp_tail_train.defvjp(_tail_train_fwd, _tail_train_bwd)
 
 
 # --------------------------------------------------------------------------
