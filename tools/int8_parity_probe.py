@@ -150,6 +150,30 @@ def main(n_images=512):
         out[f"top{k}_set_mismatch_ir"] = int(sum(
             len(set(x) ^ set(y)) > 0 for x, y in zip(ir_a, ir_b)))
     out["score_max_abs_delta"] = float(np.abs(s_a - s_b).max())
+
+    # ---- the REPORTED metric: R@k deltas under the COCO protocol ----
+    # GT pairing: image i ↔ texts 5i..5i+4 (the e2e bench's layout).
+    # Top-k set flips above count ANY reordering; R@k only moves when a
+    # GT item crosses the k boundary — this is the quantity BASELINE.md's
+    # ≤0.1 pt contract is about.
+    gt_img_of_txt = np.arange(n_texts) // 5
+    for k in (1, 5, 10):
+        for name, s in (("bf16", s_a), ("int8", s_b)):
+            # tr: does any of the image's 5 GT texts rank in its top-k?
+            tr_top = np.argsort(-s, axis=1)[:, :k]
+            tr_hit = np.mean([
+                any(gt_img_of_txt[t] == i for t in row)
+                for i, row in enumerate(tr_top)])
+            # ir: does the text's GT image rank in its top-k?
+            ir_top = np.argsort(-s.T, axis=1)[:, :k]
+            ir_hit = np.mean([
+                gt_img_of_txt[t] in row for t, row in enumerate(ir_top)])
+            out[f"tr_r{k}_{name}"] = round(float(tr_hit), 5)
+            out[f"ir_r{k}_{name}"] = round(float(ir_hit), 5)
+        out[f"tr_r{k}_delta_pts"] = round(
+            100 * (out[f"tr_r{k}_int8"] - out[f"tr_r{k}_bf16"]), 3)
+        out[f"ir_r{k}_delta_pts"] = round(
+            100 * (out[f"ir_r{k}_int8"] - out[f"ir_r{k}_bf16"]), 3)
     print(json.dumps(out))
 
 
