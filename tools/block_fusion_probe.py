@@ -155,7 +155,16 @@ def tower_vqa(variants=("split", "qkv", "mega")):
         "task_finetune_vqa_square_randaug_base_image384_ufo",
         overrides={"precision": "bf16", "image_size": 480})
     spec = make_model_spec(cfg)
-    params = eval_cast_params(init_params(spec, seed=0), spec, cfg)
+    params32 = init_params(spec, seed=0)
+    params = eval_cast_params(params32, spec, cfg)
+
+    # "int8" variant: W8A8 projections (VERDICT r3 #3 — the @480 MFU
+    # lift); same split fusion routing, quantized companions added
+    cfg8 = build_config(
+        "task_finetune_vqa_square_randaug_base_image384_ufo",
+        overrides={"precision": "bf16", "image_size": 480,
+                   "eval_int8": True})
+    spec8 = make_model_spec(cfg8)
 
     B = int(os.environ.get("VQA_B", "32"))
     rng = np.random.RandomState(0)
@@ -169,30 +178,35 @@ def tower_vqa(variants=("split", "qkv", "mega")):
     image = jnp.asarray(rng.randn(B, 3, 480, 480)
                         .astype(np.float32)).astype(jnp.bfloat16)
 
-    def chained_bias(feats):
-        return params[NB_KEY] + (feats[0, 0] * 0).astype(
-            params[NB_KEY].dtype)
-
     for name in variants:
-        _set_variant(name)
+        if name == "int8":
+            _set_variant("split")
+            run_spec, run_params = spec8, eval_cast_params(params32, spec8,
+                                                           cfg8)
+        else:
+            _set_variant(name)
+            run_spec, run_params = spec, params
+
+        def chained_bias(feats, p=run_params):
+            return p[NB_KEY] + (feats[0, 0] * 0).astype(p[NB_KEY].dtype)
 
         @jax.jit
-        def vqa_fn(p, image, norm_bias):
+        def vqa_fn(p, image, norm_bias, run_spec=run_spec):
             p = dict(p)
             p[NB_KEY] = norm_bias
             with pallas_attention(True):
-                return model.infer(p, spec, dict(batch, image=image))[
+                return model.infer(p, run_spec, dict(batch, image=image))[
                     "cls_feats"]
 
         t0 = time.time()
-        feats = vqa_fn(params, image, params[NB_KEY])
+        feats = vqa_fn(run_params, image, run_params[NB_KEY])
         np.asarray(feats[:1, :1])
         print(f"vqa {name} compile {time.time() - t0:.0f}s", flush=True)
-        feats = vqa_fn(params, image, chained_bias(feats))
+        feats = vqa_fn(run_params, image, chained_bias(feats))
         np.asarray(feats[:1, :1])
         t0 = time.time()
         for _ in range(ITERS):
-            feats = vqa_fn(params, image, chained_bias(feats))
+            feats = vqa_fn(run_params, image, chained_bias(feats))
         np.asarray(feats[:1, :1])
         dt = time.time() - t0
         print(f"vqa {name} tower B{B}: {dt / ITERS * 1e3:.1f} ms/dispatch "

@@ -72,6 +72,13 @@ def base_config() -> ConfigDict:
         vocab_size=30522,
         whole_word_masking=False,
         mlm_prob=0.15,
+        # In-graph MLM masking (north star / SURVEY §7.6): the collator
+        # emits RNG-free word-boundary ids and the (whole-word) masking +
+        # 80/10/10 replacement compile into the train step's XLA graph
+        # (ops/text_masking.py).  mask_token_id is resolved from the
+        # datamodule tokenizer when None (bert-base-uncased: 103).
+        device_mlm=False,
+        mask_token_id=None,
         draw_false_text=0,
         vl_mlm_weight=1,
         ifm_weight=1,

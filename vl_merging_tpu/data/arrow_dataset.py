@@ -234,8 +234,15 @@ class ArrowDataset:
                 m = mlm_collator(encodings, max_length=max_len)
                 out[f"{name}_ids"] = m["input_ids"]
                 out[f"{name}_labels"] = np.full_like(m["input_ids"], -100)
-                out[f"{name}_ids_mlm"] = m["mlm_input_ids"]
-                out[f"{name}_labels_mlm"] = m["mlm_labels"]
+                if "word_ids" in m:
+                    # device_mlm mode: masking happens in-graph
+                    # (train_step._device_mlm_batch); false texts never
+                    # consume mlm keys, so only "text" carries word ids
+                    if name == "text":
+                        out["text_word_ids"] = m["word_ids"]
+                else:
+                    out[f"{name}_ids_mlm"] = m["mlm_input_ids"]
+                    out[f"{name}_labels_mlm"] = m["mlm_labels"]
                 out[f"{name}_masks"] = m["attention_mask"]
             out["text"] = [b["text"] for b in batch]
         return out

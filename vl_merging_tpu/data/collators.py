@@ -28,11 +28,13 @@ class MLMCollator:
     def __init__(self, tokenizer, mlm_prob: float = 0.15,
                  whole_word: bool = False,
                  seed: int | None = None,
-                 max_predictions: int = 512):
+                 max_predictions: int = 512,
+                 device: bool = False):
         self.tokenizer = tokenizer
         self.mlm_prob = mlm_prob
         self.whole_word = whole_word
         self.max_predictions = max_predictions
+        self.device = device  # emit word ids; masking happens in-graph
         self.rng = np.random.default_rng(seed)
 
     # -- whole-word candidate grouping (HF _whole_word_mask) ---------------
@@ -77,6 +79,27 @@ class MLMCollator:
         attn = np.zeros((bsz, max_length), dtype=np.int64)
         special = np.ones((bsz, max_length), dtype=bool)
         masked = np.zeros((bsz, max_length), dtype=bool)
+
+        if self.device:
+            # in-graph masking mode (ops/text_masking.py): emit the
+            # RNG-free word-boundary map instead of consuming host RNG;
+            # -1 marks special/padding positions
+            word_ids = np.full((bsz, max_length), -1, dtype=np.int32)
+            for i, enc in enumerate(encodings):
+                L = len(enc["input_ids"])
+                ids[i, :L] = enc["input_ids"]
+                attn[i, :L] = enc["attention_mask"]
+                tokens = enc.get("tokens") or \
+                    self.tokenizer.convert_ids_to_tokens(enc["input_ids"])
+                groups = self._word_groups(tokens,
+                                           enc["special_tokens_mask"])
+                for g_idx, g in enumerate(groups):
+                    word_ids[i, g] = g_idx
+            return {
+                "input_ids": ids,
+                "attention_mask": attn,
+                "word_ids": word_ids,
+            }
 
         for i, enc in enumerate(encodings):
             L = len(enc["input_ids"])

@@ -37,7 +37,8 @@ class DataModule:
             self.tokenizer,
             mlm_prob=mlm_prob if mlm_prob is not None else cfg["mlm_prob"],
             whole_word=cfg["whole_word_masking"],
-            seed=cfg["seed"])
+            seed=cfg["seed"],
+            device=cfg.get("device_mlm", False))
         self.cls = dataset_class(name)
 
     def _common_kwargs(self, split: str) -> Dict:

@@ -235,14 +235,18 @@ class TextOnlyDataset:
     def collate(self, batch: List[Dict], mlm_collator) -> Dict:
         m = mlm_collator([b["encoding"] for b in batch],
                          max_length=self.max_text_len)
-        return {
+        out = {
             "text_ids": m["input_ids"],
             "text_labels": np.full_like(m["input_ids"], -100),
-            "text_ids_mlm": m["mlm_input_ids"],
-            "text_labels_mlm": m["mlm_labels"],
             "text_masks": m["attention_mask"],
             "text": [b["text"] for b in batch],
         }
+        if "word_ids" in m:   # device_mlm: masking happens in-graph
+            out["text_word_ids"] = m["word_ids"]
+        else:
+            out["text_ids_mlm"] = m["mlm_input_ids"]
+            out["text_labels_mlm"] = m["mlm_labels"]
+        return out
 
 
 class ImageNet22kTSVDataset:

@@ -261,9 +261,20 @@ class Trainer:
             cfg, self.spec, self.optimizer, dp_scale=dp_scale,
             accum_steps=self.accum_steps, mim_label_fn=self.mim_label_fn)
 
+    def _bind_tokenizer(self, datamodule) -> None:
+        """device_mlm mode: resolve mask_token_id from the datamodule's
+        tokenizer before any step traces (the jitted closures capture the
+        cfg DICT, so mutating the key here is visible at trace time)."""
+        if self.cfg.get("device_mlm") and \
+                self.cfg.get("mask_token_id") is None:
+            coll = getattr(datamodule, "mlm_collator", None)
+            self.cfg["mask_token_id"] = (
+                coll.tokenizer.mask_token_id if coll is not None else 103)
+
     # -- fit ----------------------------------------------------------------
     def fit(self, datamodule) -> None:
         cfg = self.cfg
+        self._bind_tokenizer(datamodule)
         train_loader = datamodule.train_loader(self.local_batch)
         # two step units: the loader yields MICRO-batches; the optimizer
         # advances once per accum_steps of them.  `step`/`max_steps`/
@@ -388,6 +399,7 @@ class Trainer:
 
     def validate(self, datamodule) -> Dict[str, float]:
         cfg = self.cfg
+        self._bind_tokenizer(datamodule)
         try:
             loader = datamodule.val_loader(self.local_batch)
         except FileNotFoundError:
@@ -527,6 +539,7 @@ class Trainer:
     # -- test ----------------------------------------------------------------
     def test(self, datamodule) -> Dict[str, float]:
         cfg = self.cfg
+        self._bind_tokenizer(datamodule)
         params = self._eval_cast(
             self.state.params if hasattr(self, "state") else self.params)
         results: Dict[str, float] = {}

@@ -158,6 +158,40 @@ def scalar_metrics(out: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
             if hasattr(v, "ndim") and v.ndim == 0}
 
 
+def _device_mlm_batch(cfg: Dict, spec: ModelSpec, batch: Dict,
+                      rng: jax.Array) -> Dict:
+    """Derive text_ids_mlm / text_labels_mlm IN-GRAPH (device_mlm mode).
+
+    The collator emitted an RNG-free word-boundary map (text_word_ids,
+    -1 on special/pad); selection + 80/10/10 replacement run on-device
+    (ops/text_masking.apply_mlm), so text masking compiles into the same
+    XLA graph as the step (north star / SURVEY §7.6).  Mixed-task
+    {"v","l","vl"} batches mask each sub-batch with its own prob
+    (vl_mlm_prob for "vl" — MultiMTDataModule's host-side convention)."""
+    from ..ops.text_masking import apply_mlm
+
+    mask_id = cfg.get("mask_token_id")
+    if mask_id is None:
+        raise ValueError("device_mlm=True needs mask_token_id (the "
+                         "Trainer resolves it from the tokenizer)")
+
+    def one(b, key, prob):
+        if not isinstance(b, dict) or "text_word_ids" not in b:
+            return b
+        wid = b["text_word_ids"]
+        ids_mlm, labels = apply_mlm(
+            b["text_ids"], wid < 0, key, prob, spec.vocab_size, mask_id,
+            word_ids=wid if cfg["whole_word_masking"] else None)
+        return dict(b, text_ids_mlm=ids_mlm, text_labels_mlm=labels)
+
+    if any(t in batch for t in ("v", "l", "vl")):
+        keys = jax.random.split(rng, len(batch))
+        return {t: one(b, k,
+                       cfg["vl_mlm_prob"] if t == "vl" else cfg["mlm_prob"])
+                for (t, b), k in zip(batch.items(), keys)}
+    return one(batch, rng, cfg["mlm_prob"])
+
+
 def make_train_step(
     cfg: Dict, spec: ModelSpec, optimizer: optax.GradientTransformation,
     *, dp_scale: float = 1.0, accum_steps: int = 1,
@@ -174,6 +208,9 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         from ..models.mome import pallas_attention
 
+        if cfg.get("device_mlm"):
+            rng, mrng = jax.random.split(rng)
+            batch = _device_mlm_batch(cfg, spec, batch, mrng)
         with pallas_attention(_resolve_pallas(cfg, spec)):
             out = compute_losses(params, spec, cfg, batch,
                                  _fast_rng(cfg, rng), train=True,
@@ -217,6 +254,9 @@ def make_eval_step(cfg: Dict, spec: ModelSpec,
     def eval_step(params, batch, rng):
         from ..models.mome import pallas_attention
 
+        if cfg.get("device_mlm"):
+            rng, mrng = jax.random.split(rng)
+            batch = _device_mlm_batch(cfg, spec, batch, mrng)
         with pallas_attention(_resolve_pallas(cfg, spec)):
             out = compute_losses(params, spec, cfg, batch, rng,
                                  train=False, mim_label_fn=mim_label_fn)
