@@ -79,6 +79,14 @@ def base_config() -> ConfigDict:
         # datamodule tokenizer when None (bert-base-uncased: 103).
         device_mlm=False,
         mask_token_id=None,
+        # In-graph train-image augmentation (north star / SURVEY §7.5):
+        # the train dataset emits native-size uint8 on a zero-padded
+        # canvas; RandomResizedCrop + HFlip + RandAugment(2,7) + normalize
+        # compile into the train step (ops/augment.augment_train_batch).
+        # Scalar RNG (crop boxes, op choices) stays host-side — cheap and
+        # torchvision/reference-distribution-exact.
+        device_augment=False,
+        canvas_size=640,  # natives larger than this are PIL-downscaled
         draw_false_text=0,
         vl_mlm_weight=1,
         ifm_weight=1,

@@ -50,6 +50,8 @@ class ArrowDataset:
         image_only: bool = False,
         tokenizer=None,
         size_frame: int = 1,  # video-only knob; ignored for arrow images
+        device_augment: bool = False,
+        canvas_size: int = 640,
     ):
         self.data_dir = data_dir
         self.names = names
@@ -62,6 +64,19 @@ class ArrowDataset:
         self.tokenizer = tokenizer
 
         self.use_mim_transform = any(t.endswith("mim") for t in transform_keys)
+        # device_augment: skip host transforms entirely — emit native-size
+        # uint8; crop/flip/randaug/normalize run in-graph
+        # (ops/augment.augment_train_batch, wired by the train step)
+        self.device_augment = device_augment
+        self.canvas_size = canvas_size
+        if device_augment:
+            if self.use_mim_transform:
+                raise ValueError("device_augment does not support the "
+                                 "two-view MIM transforms")
+            if draw_false_image:
+                raise ValueError("device_augment is incompatible with "
+                                 "draw_false_image (the SPMD objectives "
+                                 "draw negatives from the global batch)")
         if self.use_mim_transform:
             window = image_size // patch_size
             self.masked_position_generator = MaskingGenerator(
@@ -124,6 +139,16 @@ class ArrowDataset:
 
     def get_image(self, index: int, image_key: str = "image") -> Dict:
         row, cap = self.index_mapper[index]
+        if self.device_augment:
+            img = self.get_raw_image(index, image_key=image_key)
+            cs = self.canvas_size
+            if max(img.size) > cs:  # fit-to-canvas, aspect kept
+                w, h = img.size
+                s = cs / max(w, h)
+                img = img.resize((max(1, round(w * s)),
+                                  max(1, round(h * s))), Image.BICUBIC)
+            return {"img_index": row, "cap_index": cap, "raw_index": index,
+                    "image_raw": np.asarray(img, np.uint8)}
         # fused native decode path for the deterministic eval transform
         tr0 = self.transforms[0]
         if len(self.transforms) == 1 and hasattr(tr0, "transform_bytes"):
@@ -209,9 +234,23 @@ class ArrowDataset:
         max_len = (self.max_text_len if self.max_vl_text_len is None
                    else self.max_vl_text_len)
 
+        if "image_raw" in keys:
+            # device_augment: zero-padded uint8 canvas + native sizes; the
+            # train step compiles crop/flip/randaug/normalize in-graph
+            cs = self.canvas_size
+            raws = [b["image_raw"] for b in batch]
+            canvas = np.zeros((len(raws), cs, cs, 3), np.uint8)
+            sizes = np.zeros((len(raws), 2), np.int32)
+            for i, r in enumerate(raws):
+                h, w = r.shape[:2]
+                canvas[i, :h, :w] = r
+                sizes[i] = (h, w)
+            out["image_canvas"] = canvas
+            out["image_sizes"] = sizes
+
         for k in keys:
             vals = [b.get(k) for b in batch]
-            if k in ("encoding", "text", "replica") or \
+            if k in ("encoding", "text", "replica", "image_raw") or \
                     k.startswith("false_text"):
                 continue
             if k == "image_masked_pos":

@@ -15,6 +15,7 @@ from typing import Dict, List, Optional
 
 import jax
 
+from .arrow_dataset import ArrowDataset
 from .collators import MLMCollator
 from .datasets import dataset_class, TextOnlyDataset
 from .loader import ConcatDataset, DataLoader
@@ -65,6 +66,11 @@ class DataModule:
                 image_only=cfg["image_only"],
                 size_frame=cfg["num_frames"],
             )
+            if cfg.get("device_augment") and split == "train" and \
+                    issubclass(self.cls, ArrowDataset):
+                # in-graph augmentation replaces the host train transform
+                kwargs.update(device_augment=True,
+                              canvas_size=cfg.get("canvas_size", 640))
         return kwargs
 
     def dataset(self, split: str):

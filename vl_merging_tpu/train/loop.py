@@ -234,6 +234,10 @@ class Trainer:
 
         self.eval_fn = ts.make_eval_step(cfg, self.spec,
                                          mim_label_fn=self.mim_label_fn)
+        # device_augment host RNG (crop boxes / op choices); one stream,
+        # offset by process index so multi-host draws decorrelate
+        self._aug_rng = np.random.RandomState(
+            cfg["seed"] + 7919 * jax.process_index())
 
         self.exp_name = (f'{cfg["exp_name"]}_seed{cfg["seed"]}'
                          f'_from_{os.path.basename(cfg["load_path"])[:-5]}'
@@ -323,6 +327,11 @@ class Trainer:
                 if cfg["fast_dev_run"] and step >= 1:
                     done = True
                     break
+                if cfg.get("device_augment"):
+                    # host side of the in-graph augment: sample the scalar
+                    # random choices; pixels move once, as uint8
+                    batch = ts.attach_augment_params(batch, cfg,
+                                                     self._aug_rng)
                 micro_buf.append(batch)
                 if len(micro_buf) < self.accum_steps:
                     continue

@@ -192,6 +192,52 @@ def _device_mlm_batch(cfg: Dict, spec: ModelSpec, batch: Dict,
     return one(batch, rng, cfg["mlm_prob"])
 
 
+def attach_augment_params(batch: Dict, cfg: Dict, rng) -> Dict:
+    """HOST side of device_augment: sample every scalar random choice of
+    the train image pipeline (crop boxes incl. torchvision's rejection
+    loop, flip coins, RandAugment op ids/magnitudes) for each micro-batch
+    and attach them as ``aug_*`` arrays; the pixel work happens in-graph
+    (_device_augment_batch).  ``rng`` is a np.random.RandomState owned by
+    the Trainer — one stream, deterministic under a fixed seed."""
+    from ..ops.augment import sample_train_params
+
+    def one(b):
+        if not isinstance(b, dict) or "image_sizes" not in b:
+            return b
+        b = dict(b)
+        params = sample_train_params(rng, b.pop("image_sizes"),
+                                     cfg["image_size"])
+        for k, v in params.items():
+            b[f"aug_{k}"] = v
+        return b
+
+    if any(t in batch for t in ("v", "l", "vl")):
+        return {t: one(b) for t, b in batch.items()}
+    return one(batch)
+
+
+def _device_augment_batch(cfg: Dict, batch: Dict) -> Dict:
+    """Derive the normalized (B, 3, S, S) train image IN-GRAPH from the
+    uint8 canvas + host-sampled aug params (device_augment mode — the
+    image-side north star: resize, RandAugment, normalize compile into
+    the same XLA graph as the step; SURVEY §7.5)."""
+    from ..ops.augment import augment_train_batch
+
+    def one(b):
+        if not isinstance(b, dict) or "image_canvas" not in b:
+            return b
+        params = {k[4:]: v for k, v in b.items() if k.startswith("aug_")}
+        img = augment_train_batch(b["image_canvas"], params,
+                                  out_size=cfg["image_size"])
+        rest = {k: v for k, v in b.items()
+                if k != "image_canvas" and not k.startswith("aug_")}
+        return dict(rest, image=img)
+
+    if any(t in batch for t in ("v", "l", "vl")):
+        return {t: one(b) for t, b in batch.items()}
+    return one(batch)
+
+
 def make_train_step(
     cfg: Dict, spec: ModelSpec, optimizer: optax.GradientTransformation,
     *, dp_scale: float = 1.0, accum_steps: int = 1,
@@ -208,6 +254,8 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         from ..models.mome import pallas_attention
 
+        if cfg.get("device_augment"):
+            batch = _device_augment_batch(cfg, batch)
         if cfg.get("device_mlm"):
             rng, mrng = jax.random.split(rng)
             batch = _device_mlm_batch(cfg, spec, batch, mrng)
