@@ -13,7 +13,12 @@ Caveat printed with the result: this dev box has ONE cpu core (CLAUDE.md)
 — a real v5e host has dozens, so the host-side ex/s here is a floor, and
 the per-image host COST (ms of CPU per example) is the portable number.
 
-Run: python tools/train_pipeline_probe.py [n_images] [steps]
+Run: python tools/train_pipeline_probe.py [n_images] [steps] [mode]
+
+mode ∈ {host, device, both}: `host` is the reference-style pipeline (PIL
+decode + host RandAugment + host MLM collator); `device` turns on
+device_augment + device_mlm — the loader only decodes and pads, and the
+image/text transform work compiles into the train step's XLA graph.
 """
 import json
 import os
@@ -59,7 +64,7 @@ def _write_fixture(root: str, n_images: int, size: int = 448) -> None:
     _write(table, os.path.join(root, "coco_caption_karpathy_train.arrow"))
 
 
-def main(n_images=256, steps=8):
+def main(n_images=256, steps=8, mode="host"):
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +78,7 @@ def main(n_images=256, steps=8):
     from vl_merging_tpu.models import make_model_spec, init_params
     from vl_merging_tpu.train import (
         init_train_state, make_optimizer, make_schedule, make_train_step)
+    from vl_merging_tpu.train.train_step import attach_augment_params
 
     B = 22                       # the reference's per-GPU batch
     root = tempfile.mkdtemp(prefix="trainpipe_")
@@ -80,12 +86,17 @@ def main(n_images=256, steps=8):
     vocab = os.path.join(root, "vocab.txt")
     write_tiny_vocab(vocab, list(WORDS))
 
-    cfg = build_config(
-        "task_mlm_itm_ifm_square_randaug_base", "all_moe",
-        overrides=dict(precision="bf16", max_steps=1000, warmup_steps=0,
-                       data_root=root, datasets=["coco"], tokenizer=vocab,
-                       num_workers=4, per_device_batch_size=B,
-                       batch_size=B))
+    device_mode = mode == "device"
+    over = dict(precision="bf16", max_steps=1000, warmup_steps=0,
+                data_root=root, datasets=["coco"], tokenizer=vocab,
+                num_workers=4, per_device_batch_size=B,
+                batch_size=B)
+    if device_mode:
+        over.update(device_augment=True, device_mlm=True,
+                    whole_word_masking=True, mask_token_id=103,
+                    canvas_size=512)  # fixture natives are 512x448
+    cfg = build_config("task_mlm_itm_ifm_square_randaug_base", "all_moe",
+                       overrides=over)
     spec = make_model_spec(cfg)
     params = init_params(spec, seed=0)
     sched = make_schedule(cfg, cfg["max_steps"])
@@ -95,14 +106,13 @@ def main(n_images=256, steps=8):
 
     dm = MTDataModule(cfg)
     loader = dm.train_loader(B)
+    aug_rng = np.random.RandomState(0)
 
     def to_device(b):
-        out = {}
-        for k in ("text_ids", "text_ids_mlm", "text_labels_mlm",
-                  "text_masks", "image"):
-            v = b[k]
-            out[k] = jnp.asarray(np.asarray(v))
-        return out
+        if device_mode:
+            b = attach_augment_params(dict(b), cfg, aug_rng)
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if isinstance(v, np.ndarray)}
 
     # compile off the clock
     it = iter(loader)
@@ -142,6 +152,7 @@ def main(n_images=256, steps=8):
 
     print(json.dumps({
         "probe": "train_pipeline_e2e",
+        "mode": mode,
         "examples_per_sec": round(n_done / total, 2),
         "steps": steps, "batch": B,
         "phase_split_s": {"host_next_batch": round(host_s, 2),
@@ -155,5 +166,8 @@ def main(n_images=256, steps=8):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    s = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    m = sys.argv[3] if len(sys.argv) > 3 else "host"
+    for one_mode in (("host", "device") if m == "both" else (m,)):
+        main(n, s, one_mode)
