@@ -97,6 +97,64 @@ def test_sum_task_vectors_device_matches_host():
         _assert_fleet_matches(out, host)
 
 
+def _make_grams(seed=7):
+    from test_merging import HS, MLP
+
+    rng = np.random.RandomState(seed)
+    grams = {}
+    for i in range(N_LAYERS):
+        tasks = ["v", "l"] if i < VLFFN_START else ["v", "l", "vl"]
+        p = f"transformer.blocks.{i}"
+        for t in tasks:
+            for mod, d in [(f"attn.{t}", HS), (f"attn.{t}.proj", HS),
+                           (f"mlp.{t}.fc1", HS), (f"mlp.{t}.fc2", MLP)]:
+                X = rng.randn(64, d)
+                grams[f"{p}.{mod}"] = (X.T @ X).astype(np.float64)
+    return grams
+
+
+def test_regmean_device_matches_host_to_f32():
+    """f32 prototype vs the host f64 contract path: relative drift must be
+    small on well-conditioned activation grams (the docstring's ~1e-5
+    claim; the device path is for sweeps, the host path for the final
+    bit-identical checkpoint)."""
+    from vl_merging_tpu.merging.device import regmean_device
+
+    sd = make_expert_state(seed=0)
+    grams = _make_grams()
+    host = core.regmean(sd, grams, loss_names={"itm": 1},
+                        scaling_for_non_diag=0.9, **KW)
+    fleet = stack_checkpoints([sd])
+    gfleet = {k: jnp.asarray(v, jnp.float32) for k, v in grams.items()}
+    got = regmean_device(fleet, gfleet, loss_names={"itm": 1},
+                         scaling_for_non_diag=0.9, **KW)
+    assert set(got) == set(host)
+    for k, h in host.items():
+        g = np.asarray(got[k])[0]
+        scale = max(np.abs(h).max(), 1.0)
+        rel = np.abs(g - h.astype(np.float64)).max() / scale
+        assert rel < 5e-5, f"{k}: rel drift {rel}"
+
+
+def test_regmean_device_missing_gram_skips_expert():
+    from vl_merging_tpu.merging.device import regmean_device
+
+    sd = make_expert_state(seed=0)
+    grams = _make_grams()
+    # drop one expert's gram: that expert is skipped (continue), the other
+    # experts still merge — same as core.regmean
+    del grams["transformer.blocks.0.mlp.v.fc2"]
+    host = core.regmean(sd, grams, loss_names={"itm": 1}, **KW)
+    got = regmean_device(stack_checkpoints([sd]),
+                         {k: jnp.asarray(v, jnp.float32)
+                          for k, v in grams.items()},
+                         loss_names={"itm": 1}, **KW)
+    k = "transformer.blocks.0.mlp.fc2.weight"
+    rel = np.abs(np.asarray(got[k])[0] - host[k]).max() / \
+        max(np.abs(host[k]).max(), 1.0)
+    assert rel < 5e-5
+
+
 def test_stack_checkpoints_rejects_key_mismatch():
     a = make_expert_state(seed=0)
     b = make_expert_state(seed=1)

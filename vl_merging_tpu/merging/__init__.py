@@ -3,6 +3,6 @@ from .core import (  # noqa: F401
     modalities_for_layer,
 )
 from .device import (  # noqa: F401
-    merge_weights_device, ratio_sweep, stack_checkpoints,
+    merge_weights_device, ratio_sweep, regmean_device, stack_checkpoints,
     sum_task_vectors_device,
 )
