@@ -136,7 +136,7 @@ def main(n_images=256, steps=8, mode="host"):
         db = to_device(b)
         feed_s += time.time() - tf_
         state, m = step_fn(state, db)
-        n_done += db["image"].shape[0]
+        n_done += len(b["text_ids"])  # device mode has image_canvas, not image
     np.asarray(m["total_loss"])
     total = time.time() - t0
 
