@@ -149,8 +149,15 @@ def sample_train_params(rng: np.random.RandomState, sizes, out_size: int,
 # --------------------------------------------------------------------------
 
 def _histogram_256(ch_i32: jax.Array) -> jax.Array:
-    """(H*W,) int32 values -> (256,) int32 counts (scatter-add)."""
-    return jnp.zeros((256,), jnp.int32).at[ch_i32].add(1)
+    """(H*W,) int32 values -> (256,) int32 counts.
+
+    One-hot compare + reduce, NOT ``.at[].add``: TPU serializes
+    scatter-adds (measured ~55 ms/batch inside the train augment,
+    tools/augment_attrib_probe.py) while XLA fuses the compare into the
+    reduction loop — no (N, 256) array is ever materialized."""
+    return jnp.sum(
+        (ch_i32[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :])
+        .astype(jnp.int32), axis=0)
 
 
 def _autocontrast_lut(img: jax.Array) -> jax.Array:
@@ -198,14 +205,21 @@ def _brightness_lut(factor: jax.Array) -> jax.Array:
 
 
 def _apply_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
-    """Gather a per-channel (3, 256) LUT through the image."""
-    H, W, _ = img.shape
+    """Apply a per-channel (3, 256) LUT through the image — as a one-hot
+    matmul so the lookup rides the MXU, not TPU's serialized gather unit
+    (the take_along_axis form measured ~142 ms/batch — the single
+    largest augment cost, tools/augment_attrib_probe.py).
+
+    Exactness: the one-hot rows are exactly {0, 1} in bf16, LUT entries
+    are integers <= 255 (all exactly representable in bf16), and each
+    output accumulates exactly one nonzero product in f32 — so the
+    matmul reproduces the gather byte-for-byte (pinned by
+    tests/test_augment.py)."""
     idx = img.astype(jnp.int32)                        # (H, W, 3)
-    gathered = jnp.take_along_axis(
-        lut[None, :, :],                               # (1, 3, 256)
-        idx.transpose(2, 0, 1).reshape(1, 3, -1), axis=2)
-    return gathered.reshape(3, H, W).transpose(1, 2, 0) \
-        .astype(jnp.float32)
+    onehot = (idx[..., None]
+              == jnp.arange(256, dtype=jnp.int32)).astype(jnp.bfloat16)
+    return jnp.einsum("hwck,ck->hwc", onehot, lut.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
 
 
 def _sharpness(img: jax.Array, factor: jax.Array) -> jax.Array:
@@ -254,6 +268,10 @@ def _affine_bilinear(img: jax.Array, coeffs: jax.Array,
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
+    # Gather form chosen by measurement (tools/warp_variants_probe.py,
+    # all variants bit-exact): f32 3-vector advanced-index taps, 77.7
+    # ms/batch — int32 channel-packing LOSES (126.9), global-flat take
+    # ties within tunnel noise (73.7), windowed lax.gather loses (93.3).
     p = img.astype(jnp.float32)
     v = (p[y0i, x0i] * (1 - fx) * (1 - fy) + p[y0i, x1i] * fx * (1 - fy)
          + p[y1i, x0i] * (1 - fx) * fy + p[y1i, x1i] * fx * fy)
