@@ -40,6 +40,12 @@ BASELINE_A100_IMG_PER_S = 180.0
 # published step time exists (BASELINE.md); this is our estimate.
 BASELINE_A100_TRAIN_EX_PER_S = 80.0
 
+# VQA @480 inference (reference README.md:210-225: image 480, 32/GPU,
+# test_only submission): no published rate either — FLOPs-scale the ITR
+# estimate: the @480 VL pass is ~184 GF/img (measured 97 TF/s at 527-533
+# img/s, STATUS.md) vs ~111 GF/img @384, so 180 × 111/184 ≈ 108 img/s.
+BASELINE_A100_VQA480_IMG_PER_S = 108.0
+
 BATCH = 384      # larger per-dispatch batch amortizes per-pass constants
 ITERS = 6        # (bias gather ~4 ms, dispatch ~7 ms on the tunnel):
 IMAGE_SIZE = 384  # B128→B384 measured 1150→1200 img/s (eval_attrib2_probe)
@@ -334,6 +340,59 @@ def run_itm_rerank(params, spec, model, pallas_attention, staged, jax, jnp,
     return pairs / dt, out
 
 
+def run_vqa480(jax, jnp, K: int = 8, B: int = 32, iters: int = 3) -> float:
+    """VQA @480 throughput through the production scanned predict fn.
+
+    Chained per CLAUDE.md: each dispatch's params carry a norm-bias
+    perturbation derived from the previous predictions, so the tunnel
+    cannot elide repeats."""
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.evaluation.downstream import make_vqa_pred_fn_scanned
+    from vl_merging_tpu.models import make_model_spec, init_params
+    from vl_merging_tpu.train.loop import eval_cast_params
+
+    cfg = build_config(
+        "task_finetune_vqa_square_randaug_base_image384_ufo",
+        overrides={"precision": "bf16", "image_size": 480,
+                   "eval_int8": True})
+    spec = make_model_spec(cfg)
+    p32 = init_params(spec, seed=0)
+    params = eval_cast_params(p32, spec, cfg)
+    del p32
+    nb_key = "transformer.norm.bias"
+
+    rng = np.random.RandomState(0)
+    feeds = tuple(
+        {"text_ids": jnp.asarray(
+             rng.randint(0, spec.vocab_size, (B, spec.max_text_len))),
+         "text_masks": jnp.asarray(
+             (np.arange(spec.max_text_len)[None]
+              < rng.randint(5, spec.max_text_len, (B, 1))).astype(np.int32)),
+         "image": jnp.asarray(
+             rng.randn(B, 3, 480, 480).astype(np.float32)
+         ).astype(jnp.bfloat16)}
+        for _ in range(K))
+
+    fn = make_vqa_pred_fn_scanned(spec, K)
+
+    def chained(preds):
+        s = preds[0, :8].astype(jnp.float32)
+        p2 = dict(params)
+        p2[nb_key] = params[nb_key] + (s[0] * 0).astype(
+            params[nb_key].dtype)
+        return p2
+
+    preds = fn(params, feeds)
+    np.asarray(preds[:1, :1])                 # compile + warm
+    preds = fn(chained(preds), feeds)
+    np.asarray(preds[:1, :1])                 # warm the chained signature
+    t0 = time.time()
+    for _ in range(iters):
+        preds = fn(chained(preds), feeds)
+    np.asarray(preds[:1, :1])
+    return K * B * iters / (time.time() - t0)
+
+
 def run_train(jax, jnp) -> float:
     """Full VL pretrain step (mlm + dual-ifm + itm hard negatives) at the
     reference's per-GPU batch; returns examples/sec/chip.  Iterations chain
@@ -600,6 +659,34 @@ def _main_impl() -> None:
             "fusion_variant": fusion,
         }))
     del staged
+
+    # VQA @480 serving loop (BASELINE.json config #4 on hardware): the
+    # PRODUCTION scanned predict fn (evaluation.downstream.
+    # make_vqa_pred_fn_scanned — one dispatch + one fetch per K batches,
+    # the same code Trainer.test runs with eval_scan_k>1), int8 W8A8
+    # numerics (accuracy evidence: tools/int8_parity_probe.py, STATUS.md;
+    # bf16-split companion measured 572.5 img/s same-day,
+    # tools/logs/vqa480_scan.log).
+    if os.environ.get("BENCH_SKIP_VQA", "0") != "1" and E2E_IMAGES <= 512:
+        try:
+            vqa_ips = run_vqa480(jax, jnp)
+            print(json.dumps({
+                "metric": "vqa480_eval_images_per_sec_per_chip",
+                "value": round(vqa_ips, 2),
+                "unit": ("images/sec/chip (VQA @480 VL pass + vqa_head "
+                         "argmax, B32 x scan-K8 serving loop, int8 W8A8 "
+                         "projections + f32 attention logits; vs_baseline "
+                         "is FLOPs-scaled from the ITR A100 estimate — "
+                         "no published VQA rate exists)"),
+                "vs_baseline": round(
+                    vqa_ips / BASELINE_A100_VQA480_IMG_PER_S, 3),
+                "numerics": "int8-w8a8-f32-logits",
+            }))
+        except Exception as exc:  # noqa: BLE001 — metric-level skip
+            import sys
+
+            print(f"bench.py: vqa480 metric failed ({exc!r}); skipping",
+                  file=sys.stderr)
 
     train_ex = run_train(jax, jnp)
     print(json.dumps({

@@ -218,11 +218,11 @@ def test_sharded_vqa_predictions_equal_single_device(root, tmp_path):
     import json as _json
     from vl_merging_tpu.run import main
 
-    def run(num_devices):
-        log_dir = str(tmp_path / f"vqa{num_devices}")
+    def run(num_devices, scan_k=1):
+        log_dir = str(tmp_path / f"vqa{num_devices}_{scan_k}")
         main(cli_args(root, log_dir, datasets=["vqa"],
                       loss_names={"vqa": 1}, test_only=True,
-                      num_devices=num_devices))
+                      num_devices=num_devices, eval_scan_k=scan_k))
         for dirpath, _, files in os.walk(log_dir):
             for f in files:
                 if f.startswith("vqa_submit"):
@@ -233,6 +233,10 @@ def test_sharded_vqa_predictions_equal_single_device(root, tmp_path):
     sharded = run(None)  # all 8 CPU devices
     key = lambda r: r["question_id"]
     assert sorted(single, key=key) == sorted(sharded, key=key)
+    # serving-loop scan (grouped dispatches + per-batch tail) must write
+    # the identical submission, sharded too
+    scanned = run(None, scan_k=2)
+    assert sorted(scanned, key=key) == sorted(sharded, key=key)
 
 
 def test_fit_with_grad_accumulation(root, tmp_path):

@@ -179,6 +179,11 @@ def base_config() -> ConfigDict:
         # attention logits stay f32.  Drift bounds:
         # tools/int8_parity_probe.py.
         eval_int8=False,
+        # Serving-loop batching for the VQA test loop: >1 scans K
+        # same-shape batches per dispatch (one dispatch + one fetch per
+        # group; +13% on the @480 tower, tools/vqa480_scan_probe.py).
+        # Predictions are identical for every value (tests/test_e2e.py).
+        eval_scan_k=1,
         # Pallas fast path in train/eval steps (eval CLIs/bench always use
         # it).  None = auto: ON for training when image_len >= 577 (@384+,
         # where the packed fwd + fused bwd kernels measured 1.5-1.8x,

@@ -61,12 +61,53 @@ def _make_vqa_pred_fn(spec: ModelSpec, _gates):
     return fn
 
 
+def make_vqa_pred_fn_scanned(spec: ModelSpec, k: int):
+    """Serving-loop variant: ONE dispatch (and one fetch) per K batches.
+
+    A ``lax.scan`` over K stacked feeds amortizes the per-dispatch
+    arg-marshalling floor and lets XLA hoist the loop-invariant rel-pos
+    bias gather out of the loop — measured +13% on the VQA @480 tower
+    (592.1 → 668.2 img/s int8, tools/vqa480_scan_probe.py).  Identical
+    predictions to the per-batch fn (tests/test_e2e.py pins the
+    submission json against scan_k=1)."""
+    from ..ops.fused_block import fusion_gates
+
+    return _make_vqa_pred_fn_scanned(spec, int(k), fusion_gates())
+
+
+@functools.lru_cache(maxsize=16)
+def _make_vqa_pred_fn_scanned(spec: ModelSpec, k: int, _gates):
+    import jax.numpy as jnp
+
+    from ..models.mome import pallas_attention
+
+    @jax.jit
+    def fn(params, feeds):          # feeds: length-k tuple of batch dicts
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *feeds)
+
+        def body(carry, batch):
+            with pallas_attention(True):
+                out = model.infer(params, spec, batch)
+            logits = model.vqa_head(params, out["cls_feats"])
+            return carry, jnp.argmax(logits, axis=-1)
+
+        _, preds = jax.lax.scan(body, None, stacked)
+        return preds                # (k, B) int32
+    return fn
+
+
 def vqa_predictions(
     params: Params, spec: ModelSpec, batches: Iterable[Dict],
-    id2answer: Dict[int, str],
+    id2answer: Dict[int, str], scan_k: int = 1,
 ) -> List[Dict]:
     """Per-question {"question_id", "answer"} records
     (objectives.py:724-735).
+
+    ``scan_k`` > 1 groups same-shape feeds and runs them through the
+    scanned serving loop (one dispatch + one fetch per group — measured
+    +13% on the @480 tower, see ``make_vqa_pred_fn_scanned``); the tail
+    and any shape-mismatched batch fall back to the per-batch fn, so
+    outputs are identical for every ``scan_k``.
 
     Multi-host: each feed's arrays are GLOBAL (P·rows_local rows, assembled
     from per-host loader shares by ``device_feed``) while ``b["qid"]`` holds
@@ -77,18 +118,41 @@ def vqa_predictions(
     from ..parallel import host
 
     fn = make_vqa_pred_fn(spec)
-    rets = []
-    for b in batches:
-        feed = {k: v for k, v in b.items()
-                if k in ("text_ids", "text_masks", "image")}
-        preds = host.fetch_global(fn(params, feed))
+    fn_k = make_vqa_pred_fn_scanned(spec, scan_k) if scan_k > 1 else None
+    rets: List[Dict] = []
+
+    def emit(qids, preds):
+        preds = np.asarray(preds)
         preds = preds[host.process_rows(preds.shape[0])]
-        for qid, pred in zip(b["qid"], preds):
+        for qid, pred in zip(qids, preds):
             if isinstance(qid, (np.integer, np.floating)):
                 qid = qid.item()  # json-serializable
             # .get: a partial vocab (fixtures / scanned tables) may miss ids
             rets.append({"question_id": qid,
                          "answer": id2answer.get(int(pred), "")})
+
+    def flush(buf):
+        if fn_k is not None and len(buf) == scan_k:
+            preds_k = host.fetch_global(
+                fn_k(params, tuple(f for f, _ in buf)))
+            for (_, qids), preds in zip(buf, preds_k):
+                emit(qids, preds)
+        else:
+            for feed, qids in buf:
+                emit(qids, host.fetch_global(fn(params, feed)))
+        buf.clear()
+
+    buf: List = []
+    for b in batches:
+        feed = {k: v for k, v in b.items()
+                if k in ("text_ids", "text_masks", "image")}
+        if buf and feed["text_ids"].shape != buf[0][0]["text_ids"].shape:
+            flush(buf)              # shape change (loader tail): per-batch
+        buf.append((feed, b["qid"]))
+        if len(buf) == max(scan_k, 1):
+            flush(buf)
+    if buf:
+        flush(buf)
     return rets
 
 

@@ -569,7 +569,9 @@ class Trainer:
                         feed["qid"] = batch["qid"][:n_valid]
                         yield feed
 
-                rets = vqa_predictions(params, self.spec, feeds(), id2answer)
+                rets = vqa_predictions(
+                    params, self.spec, feeds(), id2answer,
+                    scan_k=int(cfg.get("eval_scan_k", 1)))
                 model_name = os.path.basename(cfg["load_path"])[:-5] \
                     if cfg["load_path"] else self.exp_name
                 path = write_vqa_submission(rets, model_name, self.log_dir)
