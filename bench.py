@@ -46,6 +46,12 @@ BASELINE_A100_TRAIN_EX_PER_S = 80.0
 # img/s, STATUS.md) vs ~111 GF/img @384, so 180 × 111/184 ≈ 108 img/s.
 BASELINE_A100_VQA480_IMG_PER_S = 108.0
 
+# NLVR2 @224 eval (BASELINE.json config #3; reference README.md:168-192):
+# two VL passes/example at N≈240 ⇒ ~86 GF/example (12·C² linear MACs
+# per token-layer + 4·N²·C attention) vs 111 GF @384 ITR image, so
+# 180 × 111/86 ≈ 232 ex/s on the same A100-utilization assumption.
+BASELINE_A100_NLVR2_EX_PER_S = 232.0
+
 BATCH = 384      # larger per-dispatch batch amortizes per-pass constants
 ITERS = 6        # (bias gather ~4 ms, dispatch ~7 ms on the tunnel):
 IMAGE_SIZE = 384  # B128→B384 measured 1150→1200 img/s (eval_attrib2_probe)
@@ -393,6 +399,81 @@ def run_vqa480(jax, jnp, K: int = 8, B: int = 32, iters: int = 3) -> float:
     return K * B * iters / (time.time() - t0)
 
 
+def run_nlvr2224(jax, jnp, K: int = 8, B: int = 32, iters: int = 4) -> float:
+    """NLVR2 @224 eval throughput (BASELINE.json config #3: ufo +
+    NLVR2, image 224): the paired pass — infer(image1, type 1) +
+    infer(image2, type 2) → nlvr2_head argmax (train/objectives.py:
+    compute_nlvr2, reference objectives.py:543-567) — scanned K batches
+    per dispatch (the @224 VL pass is small enough that the ~7 ms
+    dispatch floor matters, same as VQA @480).  Parity numerics (bf16
+    matmuls, f32 attention logits).  Chained per CLAUDE.md."""
+    from vl_merging_tpu.config import build_config
+    from vl_merging_tpu.models import make_model_spec, init_params, model
+    from vl_merging_tpu.models.mome import pallas_attention
+    from vl_merging_tpu.train.loop import eval_cast_params
+
+    cfg = build_config("task_finetune_nlvr2_square_randaug_base", "ufo",
+                       overrides={"precision": "bf16"})
+    spec = make_model_spec(cfg)
+    p32 = init_params(spec, seed=0)
+    params = eval_cast_params(p32, spec, cfg)
+    del p32
+    nb_key = "transformer.norm.bias"
+
+    rng = np.random.RandomState(0)
+    feeds = tuple(
+        {"text_ids": jnp.asarray(
+             rng.randint(0, spec.vocab_size, (B, spec.max_text_len))),
+         "text_masks": jnp.asarray(
+             (np.arange(spec.max_text_len)[None]
+              < rng.randint(5, spec.max_text_len, (B, 1))).astype(np.int32)),
+         "image": jnp.asarray(
+             rng.randn(B, 3, 224, 224).astype(np.float32)
+         ).astype(jnp.bfloat16),
+         "image2": jnp.asarray(
+             rng.randn(B, 3, 224, 224).astype(np.float32)
+         ).astype(jnp.bfloat16)}
+        for _ in range(K))
+
+    @jax.jit
+    def fn(p, feeds):
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *feeds)
+
+        def body(carry, b):
+            with pallas_attention(True):
+                i1 = model.infer(p, spec, {"text_ids": b["text_ids"],
+                                           "text_masks": b["text_masks"],
+                                           "image": b["image"]},
+                                 image_token_type_idx=1)
+                i2 = model.infer(p, spec, {"text_ids": b["text_ids"],
+                                           "text_masks": b["text_masks"],
+                                           "image": b["image2"]},
+                                 image_token_type_idx=2)
+            cls = jnp.concatenate([i1["cls_feats"], i2["cls_feats"]], -1)
+            return carry, jnp.argmax(model.nlvr2_head(p, cls), -1)
+
+        _, preds = jax.lax.scan(body, None, stacked)
+        return preds
+
+    def chained(preds):
+        s = preds[0, :8].astype(jnp.float32)
+        p2 = dict(params)
+        p2[nb_key] = params[nb_key] + (s[0] * 0).astype(
+            params[nb_key].dtype)
+        return p2
+
+    preds = fn(params, feeds)
+    np.asarray(preds[:1, :1])
+    preds = fn(chained(preds), feeds)
+    np.asarray(preds[:1, :1])
+    t0 = time.time()
+    for _ in range(iters):
+        preds = fn(chained(preds), feeds)
+    np.asarray(preds[:1, :1])
+    return K * B * iters / (time.time() - t0)
+
+
 def run_train(jax, jnp) -> float:
     """Full VL pretrain step (mlm + dual-ifm + itm hard negatives) at the
     reference's per-GPU batch; returns examples/sec/chip.  Iterations chain
@@ -686,6 +767,29 @@ def _main_impl() -> None:
             import sys
 
             print(f"bench.py: vqa480 metric failed ({exc!r}); skipping",
+                  file=sys.stderr)
+
+    # NLVR2 @224 eval (BASELINE.json config #3 on hardware): the paired
+    # two-pass forward + nlvr2_head, scanned K batches per dispatch.
+    if os.environ.get("BENCH_SKIP_NLVR2", "0") != "1" and E2E_IMAGES <= 512:
+        try:
+            nlvr2_eps = run_nlvr2224(jax, jnp)
+            print(json.dumps({
+                "metric": "nlvr2_eval_examples_per_sec_per_chip",
+                "value": round(nlvr2_eps, 2),
+                "unit": ("examples/sec/chip (NLVR2 @224 paired VL pass "
+                         "x2 + nlvr2_head argmax, B32 x scan-K8 serving "
+                         "loop, bf16 matmuls + f32 attention logits — "
+                         "reference eval numerics; vs_baseline is "
+                         "FLOPs-scaled from the ITR A100 estimate)"),
+                "vs_baseline": round(
+                    nlvr2_eps / BASELINE_A100_NLVR2_EX_PER_S, 3),
+                "numerics": "parity-f32-logits",
+            }))
+        except Exception as exc:  # noqa: BLE001 — metric-level skip
+            import sys
+
+            print(f"bench.py: nlvr2 metric failed ({exc!r}); skipping",
                   file=sys.stderr)
 
     train_ex = run_train(jax, jnp)
