@@ -183,6 +183,8 @@ def base_config() -> ConfigDict:
         # same-shape batches per dispatch (one dispatch + one fetch per
         # group; +13% on the @480 tower, tools/vqa480_scan_probe.py).
         # Predictions are identical for every value (tests/test_e2e.py).
+        # Costs ~(K+1)x the input batch footprint in HBM (buffered feeds
+        # + the stacked in-dispatch copy) — size to spare HBM.
         eval_scan_k=1,
         # Pallas fast path in train/eval steps (eval CLIs/bench always use
         # it).  None = auto: ON for training when image_len >= 577 (@384+,

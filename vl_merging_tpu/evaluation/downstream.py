@@ -107,7 +107,11 @@ def vqa_predictions(
     scanned serving loop (one dispatch + one fetch per group — measured
     +13% on the @480 tower, see ``make_vqa_pred_fn_scanned``); the tail
     and any shape-mismatched batch fall back to the per-batch fn, so
-    outputs are identical for every ``scan_k``.
+    outputs are identical for every ``scan_k``.  Memory: the group holds
+    K buffered feeds plus the stacked copy inside the dispatch — ~(K+1)×
+    the scan_k=1 input footprint in HBM (at @480 global batch 256 that
+    is ~350 MB/feed); size scan_k to the headroom left by params +
+    activations.
 
     Multi-host: each feed's arrays are GLOBAL (P·rows_local rows, assembled
     from per-host loader shares by ``device_feed``) while ``b["qid"]`` holds
@@ -142,11 +146,18 @@ def vqa_predictions(
                 emit(qids, host.fetch_global(fn(params, feed)))
         buf.clear()
 
+    def sig(feed):
+        # group key covers EVERY stacked leaf (keys + shapes + dtypes),
+        # not just text_ids — a group with diverging image shapes must
+        # take the per-batch fallback, not crash inside jnp.stack
+        return tuple(sorted((k, v.shape, str(v.dtype))
+                            for k, v in feed.items()))
+
     buf: List = []
     for b in batches:
         feed = {k: v for k, v in b.items()
                 if k in ("text_ids", "text_masks", "image")}
-        if buf and feed["text_ids"].shape != buf[0][0]["text_ids"].shape:
+        if buf and sig(feed) != sig(buf[0][0]):
             flush(buf)              # shape change (loader tail): per-batch
         buf.append((feed, b["qid"]))
         if len(buf) == max(scan_k, 1):
