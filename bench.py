@@ -116,18 +116,22 @@ def _measure_link_mbps(jax):
 _TOWER_CACHE = {}
 
 
-def _e2e_towers(params_key, spec, model, pallas_attention, jax, jnp):
+def _e2e_towers(spec, model, pallas_attention, jax, jnp):
     """Jitted native-u8-canvas image tower + text tower, cached so the
     e2e, compute-only, and rerank benches share one trace/compile per
-    fusion state.  The image tower takes the decoded NATIVE-size uint8
-    canvas + per-image (h, w) and runs the WHOLE preprocessing in-graph
-    (north star, SURVEY §7.5): PIL-parity bicubic square resize +
-    inception normalize (ops/image.py) + patchify inside the model —
-    halving the host→device payload vs feeding pre-resized 384² pixels."""
+    fusion state.  The towers take params as a CALL argument (they close
+    over nothing), so the cache keys on (spec, fusion gates) only —
+    keying on id(params) both misses rebuilt-but-identical dicts and
+    falsely suggests a closure (ADVICE r4 #3).  The image tower takes the
+    decoded NATIVE-size uint8 canvas + per-image (h, w) and runs the
+    WHOLE preprocessing in-graph (north star, SURVEY §7.5): PIL-parity
+    bicubic square resize + inception normalize (ops/image.py) + patchify
+    inside the model — halving the host→device payload vs feeding
+    pre-resized 384² pixels."""
     from vl_merging_tpu.ops.fused_block import fusion_gates
     from vl_merging_tpu.ops.image import resize_normalize_nchw
 
-    key = (params_key, spec, fusion_gates())
+    key = (spec, fusion_gates())
     if key in _TOWER_CACHE:
         return _TOWER_CACHE[key]
 
@@ -165,7 +169,7 @@ def run_e2e(params, spec, model, pallas_attention, jax, jnp, seed=0):
     iids = np.arange(E2E_IMAGES)
 
     image_tower_u8, text_tower = _e2e_towers(
-        id(params), spec, model, pallas_attention, jax, jnp)
+        spec, model, pallas_attention, jax, jnp)
 
     # compile off the clock (one-time cost, not eval throughput); warm
     # with the native canvas shape the decode produces
@@ -247,7 +251,7 @@ def run_e2e_compute(params, spec, model, pallas_attention, jax, jnp,
     iids = np.arange(E2E_IMAGES)
 
     image_tower_u8, text_tower = _e2e_towers(
-        id(params), spec, model, pallas_attention, jax, jnp)
+        spec, model, pallas_attention, jax, jnp)
 
     # stage everything on device, off the clock (native-size canvases;
     # the resize runs in-graph on device)
@@ -734,9 +738,13 @@ def _main_impl() -> None:
             "unit": ("ITM pair passes/sec (top-10 rerank of ITC "
                      "candidates, both directions, scan-chunked single "
                      "dispatch per direction; ViT-B/16 @384 fused VL "
-                     "pass).  Recalls are from random-init weights "
-                     "(zero-egress env) — throughput is the measurement"),
-            "recalls": {k: round(v, 4) for k, v in sorted(rr.items())},
+                     "pass).  Throughput is the measurement; the "
+                     "random_init_recalls values document only that the "
+                     "rerank plumbing runs — they carry NO accuracy "
+                     "signal (random-init weights, zero-egress env)"),
+            "random_init_recalls": {
+                f"random_init_{k}": round(v, 4)
+                for k, v in sorted(rr.items())},
             "fusion_variant": fusion,
         }))
     del staged

@@ -142,6 +142,14 @@ class ArrowDataset:
         if self.device_augment:
             img = self.get_raw_image(index, image_key=image_key)
             cs = self.canvas_size
+            # Images LARGER than the canvas are pre-downscaled with PIL
+            # here, so the in-graph RandomResizedCrop then samples and
+            # resamples from a cs-max image rather than the native one —
+            # a deliberate double-resample deviation from the host train
+            # path for oversized images (the crop-BOX distribution is
+            # near scale-invariant; the pixels are not).  Documented per
+            # ADVICE r4 #4; images at or under canvas_size ride the link
+            # native and match the host path's sampling base exactly.
             if max(img.size) > cs:  # fit-to-canvas, aspect kept
                 w, h = img.size
                 s = cs / max(w, h)

@@ -38,6 +38,13 @@ Numerics parity (pinned empirically against Pillow, tests/test_augment.py):
     truncation tie: >=99% bytes exact, max |Δ| small — bounded by tests.
   - Crop+resize: ops/image.py's PIL-parity bicubic with the crop folded
     into the resample-weight offsets (one weight matrix per axis).
+  - KNOWN DEVIATION (oversized natives): images larger than the staging
+    canvas are pre-downscaled host-side to fit (data/arrow_dataset.py
+    get_image), so the crop is sampled and resampled from a canvas-max
+    image, not the native one — a double-resample pixel deviation from
+    the host train path for those images (crop-box distribution is near
+    scale-invariant; pixels are not).  Natives at or under canvas_size
+    match the host path's sampling base exactly.
 
 Reference: src/vilt/transforms/square_transform.py:20-30,
 src/vilt/transforms/randaugment.py:310-339 (cv2-based op semantics the

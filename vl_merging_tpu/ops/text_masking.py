@@ -44,9 +44,16 @@ def _select_row(word_id, special, order_key, mlm_prob, max_predictions):
     L = word_id.shape[0]
     valid_tok = ~special & (word_id >= 0)
     n_candidates = valid_tok.sum()
-    num_to_predict = jnp.minimum(
-        max_predictions,
-        jnp.maximum(1, jnp.round(n_candidates * mlm_prob).astype(jnp.int32)))
+    # budget via a trace-time table in HOST f64 semantics — an in-graph
+    # f32 `jnp.round(n * prob)` resolves near-.5 ties differently from the
+    # collator's `int(round(...))` (e.g. 30*0.15 -> 4.50000018 in f32 ->
+    # 5, vs 4.4999999... in f64 -> 4), skewing the budget by one token at
+    # specific candidate counts (ADVICE r4 #2).  n_candidates <= L, so the
+    # exact host expression is enumerable at trace time.
+    budget_table = jnp.asarray(
+        [min(max_predictions, max(1, int(round(n * mlm_prob))))
+         for n in range(L + 1)], jnp.int32)
+    num_to_predict = budget_table[n_candidates]
 
     # group g exists iff any token carries it; its length = token count
     gid = jnp.arange(L, dtype=jnp.int32)
