@@ -29,10 +29,18 @@ trained-scale margins.  Released checkpoints are unreachable
      at several training checkpoints so the flip count can be read AS A
      FUNCTION OF margin scale.
 
-Run: python tools/int8_trained_margin_probe.py [steps] [n_pairs]
+Run: python tools/int8_trained_margin_probe.py [steps] [n_pairs] [logits]
 Defaults: 900 steps, 512 pairs, batch 20 (reference per-GPU batch),
 eval every 300 steps.  All training dispatches chain through the donated
 TrainState (the tunnel cannot elide them, CLAUDE.md).
+
+``logits=bf16`` additionally applies the same gate to the TRAINING
+numerics question (VERDICT r4 Weak #2's "new idea"): it trains with
+``attention_logits_dtype="bf16"`` — the measured 147.5-vs-160.4 ms/step
+opt-in — on the SAME data/seeds as the f32 control run, so the training
+trajectories (loss, i2t accuracy) and final trained R@k/margins are
+directly comparable between the two logs.  Eval towers stay at their
+own numerics (parity/int8) either way.
 """
 
 import json
@@ -51,7 +59,7 @@ LR = 1e-4             # from-random-init probe LR (config's 2e-5 is for a
                       # pretrained init; margins are the target, not BLEU)
 
 
-def main(steps=900, n_pairs=512, eval_every=300):
+def main(steps=900, n_pairs=512, eval_every=300, train_logits="f32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -71,13 +79,20 @@ def main(steps=900, n_pairs=512, eval_every=300):
 
     cfgs, specs = {}, {}
     for name, flag in (("bf16", False), ("int8", True)):
-        cfg = build_config(
+        c = build_config(
             "task_finetune_irtr_coco_square_randaug_base_image384", "ufo",
             overrides={"precision": "bf16", "eval_int8": flag,
                        "learning_rate": LR, "warmup_steps": 0,
                        "max_steps": steps})
-        cfgs[name], specs[name] = cfg, make_model_spec(cfg)
-    cfg, spec = cfgs["bf16"], specs["bf16"]
+        cfgs[name], specs[name] = c, make_model_spec(c)
+    # the TRAIN graph may run the opt-in bf16-logit attention; the eval
+    # towers above always keep their own (parity/int8, f32-logit) numerics
+    cfg = build_config(
+        "task_finetune_irtr_coco_square_randaug_base_image384", "ufo",
+        overrides={"precision": "bf16", "learning_rate": LR,
+                   "warmup_steps": 0, "max_steps": steps,
+                   "attention_logits_dtype": train_logits})
+    spec = make_model_spec(cfg)
     S = spec.image_size
 
     # ---- structured paired data, device-resident ----
@@ -227,9 +242,14 @@ def main(steps=900, n_pairs=512, eval_every=300):
     final = dict(reports[-1])
     final["probe"] = "int8_trained_margin"
     final["steps"] = steps
+    final["train_logits"] = train_logits
     final["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:3]])
+    args = sys.argv[1:]
+    main(int(args[0]) if len(args) > 0 else 900,
+         int(args[1]) if len(args) > 1 else 512,
+         int(args[2]) if len(args) > 2 else 300,
+         args[3] if len(args) > 3 else "f32")

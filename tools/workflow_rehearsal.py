@@ -1,0 +1,319 @@
+#!/usr/bin/env python
+"""ONE chained full-workflow rehearsal on the real TPU (VERDICT r4 #2).
+
+Every stage of the reference's two flagship call stacks — merge-and-
+finetune (reference src/vilt/modules/vilt_module.py:269-295, SURVEY §3.3)
+and the RegMean two-phase pipeline (src/cache_gram_matrices.py:141-357,
+SURVEY §3.4) — has been tested in isolation since r2; this script chains
+them as a USER would, through the CLIs as subprocesses on the default
+(TPU) platform, against one set of synthetic jpeg arrows:
+
+  0. write arrows (48 images x 2 captions, 256px natives + VQA set)
+  1. pretrain      python -m vl_merging_tpu.run       (all_moe, mlm+itm+ifm @224)
+  2. gram cache    python -m vl_merging_tpu.cache_gram_matrices
+  3. merge         python -m vl_merging_tpu.merge     (interp AND regmean)
+     + re-assert BIT-IDENTITY of both merged checkpoints against the
+       EXECUTED reference merge functions on THIS run's checkpoint
+       (not a fixture) — the house oracle from tests/test_reference_parity
+  4. fine-tune     python -m vl_merging_tpu.run       (merged-ufo irtr @224)
+  5. eval          python -m vl_merging_tpu.run       (test_only recall +
+                   ITM rerank; the rerank head is fresh-init — the irtr
+                   fine-tune has no ITM loss, same as the reference)
+  6. vqa submit    python -m vl_merging_tpu.run       (test_only, submission
+                   json from the pretrain checkpoint)
+
+The model geometry is small (hidden 64) but has the REFERENCE layer count
+(12, vlffn at 10) because the reference merging loops hard-code range(12).
+Each stage's wall time, rc, and output digests land in
+``{work}/rehearsal_summary.json``; per-stage CLI output in ``{work}/logs``.
+
+Run: python tools/workflow_rehearsal.py [work_dir]
+"""
+
+import hashlib
+import io
+import json
+import os
+import random
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+WORK = os.path.abspath(
+    sys.argv[1] if len(sys.argv) > 1 else
+    "/root/repo/result/workflow_rehearsal")
+ARROWS = os.path.join(WORK, "arrows")
+LOGS = os.path.join(WORK, "logs")
+
+N_IMAGES = 48
+NATIVE = 256          # native jpeg size: real decode + resize work @224
+STEPS = 36            # 3 epochs of 96 pairs at batch 8
+
+GEOM = dict(
+    data_root=ARROWS,
+    tokenizer=os.path.join(ARROWS, "vocab.txt"),
+    hidden_size=64, num_heads=2, num_layers=12, image_size=224,
+    patch_size=16, max_text_len=16, max_text_len_of_initckpt=16,
+    vlffn_start_layer_index=10, precision="bf16",
+    per_device_batch_size=8, batch_size=8, num_workers=2,
+    max_steps=STEPS, warmup_steps=0, tasks=None, max_vl_text_len=None,
+    seed=0,
+)
+
+SUMMARY = {"stages": []}
+
+
+def kv_args(*names, **over):
+    merged = dict(GEOM)
+    merged.update(over)
+    args = list(names)
+    for k, v in merged.items():
+        args.append(f"{k}={v!r}" if isinstance(v, str) else f"{k}={v}")
+    return args
+
+
+def sha256(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as fp:
+        for chunk in iter(lambda: fp.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def run_stage(name, module, args, outputs=()):
+    cmd = [sys.executable, "-m", module, "with", *args]
+    print(f"[{name}] {' '.join(cmd[2:6])} ... ({len(args)} args)",
+          flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                       cwd="/root/repo")
+    dt = time.time() - t0
+    log = os.path.join(LOGS, f"{name}.log")
+    with open(log, "w") as fp:
+        fp.write(" ".join(cmd) + f"\n\nrc={r.returncode} wall={dt:.1f}s\n"
+                 f"--- stdout ---\n{r.stdout}\n--- stderr ---\n{r.stderr}")
+    entry = {"stage": name, "wall_s": round(dt, 1), "rc": r.returncode,
+             "outputs": {}}
+    for out in outputs:
+        entry["outputs"][os.path.relpath(out, WORK)] = (
+            sha256(out) if os.path.exists(out) else "MISSING")
+    SUMMARY["stages"].append(entry)
+    print(f"[{name}] rc={r.returncode} wall={dt:.1f}s "
+          f"{entry['outputs']}", flush=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:], file=sys.stderr)
+        print(r.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"stage {name} failed (see {log})")
+    return entry
+
+
+def find_ckpt(log_dir):
+    exp = sorted(os.listdir(log_dir))[0]
+    path = os.path.join(log_dir, exp, "checkpoints", "last", "weights.ckpt")
+    assert os.path.exists(path), path
+    return path, os.path.join(log_dir, exp)
+
+
+def assert_metrics_logged(exp_dir, stage):
+    """Weak #5 (r4): metrics.jsonl must not be empty on-chip."""
+    path = os.path.join(exp_dir, "metrics.jsonl")
+    lines = [json.loads(l) for l in open(path)] if os.path.exists(path) \
+        else []
+    assert lines, f"{stage}: empty/missing {path}"
+    print(f"[{stage}] metrics.jsonl: {len(lines)} records "
+          f"(last keys: {sorted(lines[-1])[:6]})", flush=True)
+    return len(lines)
+
+
+# ---------------------------------------------------------------------------
+# stage 0: synthetic jpeg arrows (fixture schema, bigger natives)
+# ---------------------------------------------------------------------------
+
+def write_arrows():
+    import pyarrow as pa
+
+    from fixtures import _caption, _write, write_vqa_arrow
+    from vl_merging_tpu.data.text import write_tiny_vocab
+    from fixtures import WORDS
+    from PIL import Image
+
+    os.makedirs(ARROWS, exist_ok=True)
+    write_tiny_vocab(os.path.join(ARROWS, "vocab.txt"), WORDS)
+
+    def jpeg(nprng):
+        arr = (nprng.rand(NATIVE, NATIVE, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+        return buf.getvalue()
+
+    for split, seed in (("train", 0), ("test", 1)):
+        nprng = np.random.RandomState(seed)
+        rng = random.Random(seed)
+        n = N_IMAGES if split == "train" else 16
+        rows = [[jpeg(nprng), [_caption(rng) for _ in range(2)],
+                 f"img_{split}_{i}.jpg", split] for i in range(n)]
+        table = pa.Table.from_arrays(
+            [pa.array([r[j] for r in rows]) for j in range(4)],
+            names=["image", "caption", "image_id", "split"])
+        _write(table, os.path.join(
+            ARROWS, f"f30k_caption_karpathy_{split}.arrow"))
+
+    for name, seed in (("vqav2_train", 2), ("vqav2_trainable_val", 3),
+                       ("vqav2_rest_val", 4), ("vqav2_test", 5)):
+        write_vqa_arrow(ARROWS, name, n_images=8, seed=seed)
+    print(f"[arrows] wrote fixture arrows under {ARROWS}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# stage 3 oracle: executed-reference merge on THIS run's checkpoint
+# ---------------------------------------------------------------------------
+
+def assert_merge_bit_identity(pretrain_ckpt, merged_path, gram_path, kind):
+    """Load the stage-1 checkpoint, run the EXECUTED reference merge on it,
+    and require bit-equality with the CLI's output on every key."""
+    import torch
+
+    from test_reference_parity import _extract, _fake_self, _to_torch
+    from vl_merging_tpu.ckpt import io as ckpt_io
+    from vl_merging_tpu.ckpt.pipeline import adapt_state_dict
+    from vl_merging_tpu.config import build_config
+
+    over = {k: v for k, v in GEOM.items()}
+    over.update(datasets=["f30k"], loss_names={"irtr": 1},
+                load_path=pretrain_ckpt)
+    if kind == "interp":
+        over.update(merge_weights=True, merge_ratio=0.5)
+    else:
+        over.update(regmean=True, gram_matrices=gram_path,
+                    scaling_for_non_diag=0.9)
+    cfg = build_config("ufo", overrides=over)
+
+    from vl_merging_tpu.models import make_model_spec
+    spec = make_model_spec(cfg)
+    sd = ckpt_io.load_torch_checkpoint(pretrain_ckpt)
+    sd = adapt_state_dict(cfg, spec, sd, for_eval=True)
+
+    ref_fn = _extract("merge_weights" if kind == "interp" else "regmean")
+    want = ref_fn(_fake_self(cfg), _to_torch(sd))
+    got = ckpt_io.load_torch_checkpoint(merged_path)
+    want_np = {k: (v.numpy() if isinstance(v, torch.Tensor) else v)
+               for k, v in want.items()}
+    assert set(got) == set(want_np), sorted(set(got) ^ set(want_np))[:8]
+    n_diff = sum(not np.array_equal(got[k], want_np[k]) for k in want_np)
+    assert n_diff == 0, f"{kind}: {n_diff} tensors differ from the ref"
+    print(f"[merge-{kind}] bit-identical to the EXECUTED reference on "
+          f"this run's checkpoint ({len(want_np)} tensors)", flush=True)
+
+
+def main():
+    os.makedirs(LOGS, exist_ok=True)
+    t_all = time.time()
+    write_arrows()
+
+    # 1. pretrain (all_moe mlm+itm+ifm @224, real input pipeline)
+    pre_dir = os.path.join(WORK, "pretrain")
+    run_stage("1_pretrain", "vl_merging_tpu.run",
+              kv_args("all_moe", datasets=["f30k"],
+                      loss_names={"mlm": 1, "itm": 1, "ifm": 1},
+                      log_dir=pre_dir))
+    pre_ckpt, pre_exp = find_ckpt(pre_dir)
+    SUMMARY["stages"][-1]["outputs"]["pretrain_ckpt"] = sha256(pre_ckpt)
+    assert_metrics_logged(pre_exp, "1_pretrain")
+
+    # 2. gram cache (RegMean phase 1)
+    gram_dir = os.path.join(WORK, "gram")
+    run_stage("2_gram", "vl_merging_tpu.cache_gram_matrices",
+              kv_args("all_moe", datasets=["f30k"],
+                      loss_names={"ifm": 1}, load_path=pre_ckpt,
+                      representation_name="G", log_dir=gram_dir),
+              outputs=[os.path.join(gram_dir, "G.pth")])
+    gram_path = os.path.join(gram_dir, "G.pth")
+
+    # 3. merge: interp AND regmean; executed-reference bit-identity on
+    #    the checkpoint THIS run produced
+    interp_dir = os.path.join(WORK, "merge_interp")
+    run_stage("3a_merge_interp", "vl_merging_tpu.merge",
+              kv_args("ufo", datasets=["f30k"], loss_names={"irtr": 1},
+                      load_path=pre_ckpt, merge_weights=True,
+                      merge_ratio=0.5, log_dir=interp_dir),
+              outputs=[os.path.join(interp_dir, "merged.ckpt")])
+    assert_merge_bit_identity(
+        pre_ckpt, os.path.join(interp_dir, "merged.ckpt"), None, "interp")
+
+    regmean_dir = os.path.join(WORK, "merge_regmean")
+    run_stage("3b_merge_regmean", "vl_merging_tpu.merge",
+              kv_args("ufo", datasets=["f30k"], loss_names={"irtr": 1},
+                      load_path=pre_ckpt, regmean=True,
+                      gram_matrices=gram_path, scaling_for_non_diag=0.9,
+                      log_dir=regmean_dir),
+              outputs=[os.path.join(regmean_dir, "merged.ckpt")])
+    assert_merge_bit_identity(
+        pre_ckpt, os.path.join(regmean_dir, "merged.ckpt"), gram_path,
+        "regmean")
+
+    # 4. merged-ufo irtr fine-tune — the reference merges INLINE at model
+    #    construction (vilt_module.py:269-295), which run.py mirrors with
+    #    merge_weights=True on the load path
+    ft_dir = os.path.join(WORK, "finetune")
+    run_stage("4_finetune", "vl_merging_tpu.run",
+              kv_args("ufo", datasets=["f30k"], loss_names={"irtr": 1},
+                      load_path=pre_ckpt, merge_weights=True,
+                      merge_ratio=0.5, log_dir=ft_dir))
+    ft_ckpt, ft_exp = find_ckpt(ft_dir)
+    SUMMARY["stages"][-1]["outputs"]["finetune_ckpt"] = sha256(ft_ckpt)
+    assert_metrics_logged(ft_exp, "4_finetune")
+
+    # 5. recall + ITM rerank eval of the fine-tuned model (test_only).
+    #    loss_names adds itm so the model HAS a rerank head; its weights
+    #    are fresh-init (the irtr fine-tune doesn't train one — neither
+    #    does the reference, SURVEY §3.2) — the stage validates plumbing
+    #    and logging, recall numbers come from the tiny trained model.
+    eval_dir = os.path.join(WORK, "eval")
+    run_stage("5_eval_recall", "vl_merging_tpu.run",
+              kv_args("ufo", datasets=["f30k"],
+                      loss_names={"irtr": 1, "itm": 1},
+                      load_path=ft_ckpt, test_only=True,
+                      get_recall_metric=True, itm_rerank_topk=3,
+                      log_dir=eval_dir))
+    _, eval_exp = find_ckpt_dirless(eval_dir)
+    assert_metrics_logged(eval_exp, "5_eval_recall")
+
+    # 6. VQA submission write from the pretrain checkpoint (fresh vqa head)
+    vqa_dir = os.path.join(WORK, "vqa")
+    run_stage("6_vqa_submit", "vl_merging_tpu.run",
+              kv_args(datasets=["vqa"], loss_names={"vqa": 1},
+                      load_path=pre_ckpt, test_only=True, log_dir=vqa_dir))
+    subs = []
+    for dirpath, _, files in os.walk(vqa_dir):
+        subs += [os.path.join(dirpath, f) for f in files
+                 if f.startswith("vqa_submit")]
+    assert subs, f"no vqa submission under {vqa_dir}"
+    recs = json.load(open(subs[0]))
+    assert recs and {"question_id", "answer"} <= set(recs[0])
+    SUMMARY["stages"][-1]["outputs"]["vqa_submission"] = sha256(subs[0])
+    SUMMARY["stages"][-1]["outputs"]["vqa_records"] = len(recs)
+
+    SUMMARY["total_wall_s"] = round(time.time() - t_all, 1)
+    out = os.path.join(WORK, "rehearsal_summary.json")
+    with open(out, "w") as fp:
+        json.dump(SUMMARY, fp, indent=2)
+    print(json.dumps({"probe": "workflow_rehearsal",
+                      "total_wall_s": SUMMARY["total_wall_s"],
+                      "stages": [(s["stage"], s["wall_s"])
+                                 for s in SUMMARY["stages"]],
+                      "summary": out}), flush=True)
+
+
+def find_ckpt_dirless(log_dir):
+    """Experiment dir for a test_only run (no checkpoints written)."""
+    exp = sorted(os.listdir(log_dir))[0]
+    return None, os.path.join(log_dir, exp)
+
+
+if __name__ == "__main__":
+    main()
