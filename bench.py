@@ -244,7 +244,16 @@ def run_e2e_compute(params, spec, model, pallas_attention, jax, jnp,
     the tunnel cannot dedupe) and the final recall fetch syncs the stream.
 
     Returns (images/sec, staged) where ``staged`` carries the device
-    buffers for the ITM-rerank bench."""
+    buffers for the ITM-rerank bench.
+
+    Dispatch granularity: the image tower runs in B128 chunks, not the
+    link-bound path's B32 decode granularity — the r5 attribution probe
+    (tools/e2e_compute_attrib_probe.py) measured 240.1 / 219.8 / 218.5 ms
+    for the identical 256-image tower at B32 / B128 / B256; with the data
+    pre-staged there is no decode-overlap reason to keep B32, so the ~9%
+    dispatch overhead is not part of the compute story.  ``staged`` keeps
+    the B32 batches for the rerank bench (its pair-pass rebatches anyway).
+    """
     from vl_merging_tpu.evaluation.retrieval import _topk_ids
 
     jpegs = _make_jpegs(E2E_IMAGES, seed=seed)
@@ -271,14 +280,24 @@ def run_e2e_compute(params, spec, model, pallas_attention, jax, jnp,
     d_iids, d_tiids = jax.device_put(iids), jax.device_put(tiids)
     np.asarray(u8_batches[-1][0][0, 0, 0, 0])  # drain the feed
 
+    # restage into B128 dispatch chunks off the clock (see docstring);
+    # uniform native size in the bench jpegs keeps the canvases stackable
+    cb = 128
+    big_batches = []
+    for s in range(0, len(u8_batches), cb // E2E_BATCH):
+        group = u8_batches[s:s + cb // E2E_BATCH]
+        big_batches.append((jnp.concatenate([c for c, _ in group]),
+                            jnp.concatenate([z for _, z in group])))
+    np.asarray(big_batches[-1][0][0, 0, 0, 0])
+
     # warm both tower signatures (compile off the clock; cached from the
     # link-bound runs anyway)
-    np.asarray(image_tower_u8(params, *u8_batches[0])[:1, :1])
+    np.asarray(image_tower_u8(params, *big_batches[0])[:1, :1])
     np.asarray(text_tower(params, *txt_batches[0])[:1, :1])
 
     t0 = time.time()
     img = jnp.concatenate(
-        [image_tower_u8(params, canvas, sz) for canvas, sz in u8_batches]
+        [image_tower_u8(params, canvas, sz) for canvas, sz in big_batches]
     ).astype(jnp.float32)
     txt = jnp.concatenate(
         [text_tower(params, ids, masks) for ids, masks in txt_batches]
@@ -833,6 +852,18 @@ def _main_impl() -> None:
         "vs_baseline": round(comp / BASELINE_A100_IMG_PER_S, 3),
         "first_run_images_per_sec": round(comp_first, 2),
         "fusion_variant": fusion,
+        # r5 phase attribution (tools/e2e_compute_attrib_probe.py, 256
+        # images): image tower 218.5-219.8 ms (B256/B128 dispatch), text
+        # tower 117.6 ms (5 captions/image is the COCO protocol), score+
+        # topk 22.4 ms.  The gap to the tower-only headline is NOT
+        # overhead — it is the text tower + ranking work the tower metric
+        # does not carry.  Parity-numerics ceiling at this protocol =
+        # 256/(218.5+117.6)s ~ 762 img/s with free ranking.
+        "attribution_note": (
+            "gap to tower-only rate = text tower (5 caps/img, ~33% of "
+            "time) + score/topk (~6%); parity roofline ~762 img/s at the "
+            "5-captions-per-image protocol — see "
+            "tools/e2e_compute_attrib_probe.py"),
     }))
 
     if os.environ.get("BENCH_SKIP_RERANK", "0") != "1" and E2E_IMAGES <= 512:
