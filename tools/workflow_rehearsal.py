@@ -19,6 +19,11 @@ them as a USER would, through the CLIs as subprocesses on the default
   5. eval          python -m vl_merging_tpu.run       (test_only recall +
                    ITM rerank; the rerank head is fresh-init — the irtr
                    fine-tune has no ITM loss, same as the reference)
+                   loss_names uses the reference's retrieval+ITM combo
+                   {"irtr","ifm","itm"} (src/vilt/config.py:417 — the one
+                   reference config that pairs itm with retrieval; itm
+                   hard-negatives are sampled from ifm logits so itm
+                   never appears without ifm)
   6. vqa submit    python -m vl_merging_tpu.run       (test_only, submission
                    json from the pretrain checkpoint)
 
@@ -67,6 +72,28 @@ GEOM = dict(
 
 SUMMARY = {"stages": []}
 
+# REHEARSAL_RESUME=1 reuses stages whose prior run recorded rc=0 in
+# rehearsal_summary.json (stage logs + on-disk outputs are the cache) —
+# lets a fixed later stage rerun without repaying ~26 min of TPU stages.
+_CACHED = {}
+if os.environ.get("REHEARSAL_RESUME"):
+    _prev = os.path.join(WORK, "rehearsal_summary.json")
+    _prev_log = os.path.join(WORK, "logs")
+    if os.path.exists(_prev):
+        for s in json.load(open(_prev)).get("stages", []):
+            if s["rc"] == 0:
+                _CACHED[s["stage"]] = s
+    else:  # prior run died mid-flight: reconstruct from stage logs
+        for fn in sorted(os.listdir(_prev_log)) if os.path.isdir(_prev_log) \
+                else []:
+            head = open(os.path.join(_prev_log, fn)).read(4096)
+            m = [l for l in head.splitlines() if l.startswith("rc=")]
+            if m and m[0].startswith("rc=0"):
+                wall = float(m[0].split("wall=")[1].rstrip("s"))
+                _CACHED[fn[:-4]] = {"stage": fn[:-4], "rc": 0,
+                                    "wall_s": wall, "outputs": {},
+                                    "cached": True}
+
 
 def kv_args(*names, **over):
     merged = dict(GEOM)
@@ -86,12 +113,31 @@ def sha256(path):
 
 
 def run_stage(name, module, args, outputs=()):
+    if name in _CACHED and all(os.path.exists(o) for o in outputs):
+        entry = dict(_CACHED[name], cached=True)
+        entry["outputs"] = {os.path.relpath(o, WORK): sha256(o)
+                            for o in outputs}
+        SUMMARY["stages"].append(entry)
+        print(f"[{name}] CACHED rc=0 wall={entry['wall_s']}s "
+              f"{entry['outputs']}", flush=True)
+        return entry
+    # a prior failed attempt leaves a stale experiment dir that
+    # find_ckpt's sorted()[0] would pick up — start the stage clean
+    for a in args:
+        if a.startswith("log_dir="):
+            stale = a.split("=", 1)[1].strip("'\"")
+            if os.path.isdir(stale):
+                import shutil
+                shutil.rmtree(stale)
     cmd = [sys.executable, "-m", module, "with", *args]
     print(f"[{name}] {' '.join(cmd[2:6])} ... ({len(args)} args)",
           flush=True)
     t0 = time.time()
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache",
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1.0")
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
-                       cwd="/root/repo")
+                       cwd="/root/repo", env=env)
     dt = time.time() - t0
     log = os.path.join(LOGS, f"{name}.log")
     with open(log, "w") as fp:
@@ -143,6 +189,9 @@ def write_arrows():
     from PIL import Image
 
     os.makedirs(ARROWS, exist_ok=True)
+    if _CACHED and os.path.exists(os.path.join(ARROWS, "vocab.txt")):
+        print(f"[arrows] reusing existing arrows under {ARROWS}", flush=True)
+        return
     write_tiny_vocab(os.path.join(ARROWS, "vocab.txt"), WORDS)
 
     def jpeg(nprng):
@@ -276,7 +325,7 @@ def main():
     eval_dir = os.path.join(WORK, "eval")
     run_stage("5_eval_recall", "vl_merging_tpu.run",
               kv_args("ufo", datasets=["f30k"],
-                      loss_names={"irtr": 1, "itm": 1},
+                      loss_names={"irtr": 1, "ifm": 1, "itm": 1},
                       load_path=ft_ckpt, test_only=True,
                       get_recall_metric=True, itm_rerank_topk=3,
                       log_dir=eval_dir))
