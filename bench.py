@@ -346,7 +346,10 @@ def run_f30k_itr(params, spec, model, pallas_attention, jax, jnp,
 
     n_img = F30K_IMAGES
     n_txt = n_img * E2E_CAPS_PER_IMAGE
-    IB, TB = 250, 256                       # image/text dispatch batches
+    # IB must keep the packed kernels' batch-blocking ≥8: 250 would pick
+    # bb=2 (250 % 8 != 0), the blocking measured to underutilize the MXU
+    # (~3-4x slower tower) — 200 keeps bb=8 with 5 dispatches.
+    IB, TB = 200, 256                       # image/text dispatch batches
     jpegs = _make_jpegs(n_img, seed=seed)
     rng = np.random.RandomState(seed + 1)
     n_txt_pad = ((n_txt + TB - 1) // TB) * TB   # pad → all text dispatches
@@ -368,24 +371,39 @@ def run_f30k_itr(params, spec, model, pallas_attention, jax, jnp,
          jax.device_put(text_masks[s:s + TB]))
         for s in range(0, n_txt_pad, TB)]
     d_iids, d_tiids = jax.device_put(iids), jax.device_put(tiids)
-    np.asarray(u8_batches[-1][0][0, 0, 0, 0])   # drain the staging feed
+    # drain EVERY staged batch (device_put is async; on a slow tunnel day
+    # an un-arrived batch would otherwise stall the timed loop — the first
+    # r5 run measured 6.8 s itc where compute is ~1.4 s for this reason)
+    for canvas, _ in u8_batches:
+        np.asarray(canvas[0, 0, 0, 0])
+    np.asarray(txt_batches[-1][0][0, 0])
 
-    # warm both tower signatures off the clock (IB=250 is a new image
+    # warm both tower signatures off the clock (IB=200 is a new image
     # shape; TB=256 is the e2e compile)
     np.asarray(image_tower_u8(params, *u8_batches[0])[:1, :1])
     np.asarray(text_tower(params, *txt_batches[0])[:1, :1])
 
+    def itc_round(chain):
+        img = jnp.concatenate(
+            [image_tower_u8(params, canvas + chain, sz)
+             for canvas, sz in u8_batches]).astype(jnp.float32)
+        txt = jnp.concatenate(
+            [text_tower(params, ids, masks) for ids, masks in txt_batches]
+        ).astype(jnp.float32)[:n_txt]
+        scores = img @ txt.T
+        recalls = _topk_ids(scores, d_iids, d_tiids)
+        float(recalls["tr_r1"])                 # one sync for the stream
+        return scores, recalls
+
     phases = {}
     t0 = time.time()
-    img = jnp.concatenate(
-        [image_tower_u8(params, canvas, sz) for canvas, sz in u8_batches]
-    ).astype(jnp.float32)
-    txt = jnp.concatenate(
-        [text_tower(params, ids, masks) for ids, masks in txt_batches]
-    ).astype(jnp.float32)[:n_txt]
-    scores = img @ txt.T
-    recalls = _topk_ids(scores, d_iids, d_tiids)
-    float(recalls["tr_r1"])                     # one sync for the stream
+    scores, recalls = itc_round(jnp.uint8(0))
+    phases["itc_first_s"] = round(time.time() - t0, 2)
+    # steady-state round, chained on the first round's output so the
+    # tunnel cannot dedupe it (CLAUDE.md)
+    chain = (scores[0, 0] * 0).astype(jnp.uint8)
+    t0 = time.time()
+    scores, recalls = itc_round(chain)
     itc_s = time.time() - t0
     phases["itc_s"] = round(itc_s, 2)
     itc_ips = n_img / itc_s
