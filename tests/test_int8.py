@@ -120,6 +120,25 @@ def test_w8a8_tracks_exact_linear():
     assert np.abs(got - want).mean() / denom < 0.01
 
 
+def test_poly_gelu_error_bound():
+    """The int8 MLP's fma-only polynomial gelu must stay within its
+    documented 5e-5 envelope of EXACT erf-gelu (math.erf, f64) across
+    the clip region and both saturated tails — two orders below the
+    per-token int8 quantization step it feeds."""
+    import math
+
+    from vl_merging_tpu.ops.mlp import _poly_gelu
+
+    x = np.linspace(-40.0, 40.0, 400001).astype(np.float32)
+    got = np.asarray(_poly_gelu(jnp.asarray(x)), np.float64)
+    want = np.array([0.5 * v * (1.0 + math.erf(v / math.sqrt(2)))
+                     for v in x.astype(np.float64)])
+    assert np.abs(got - want).max() <= 5e-5
+    # saturated tails: gelu(x) -> x and -> 0 (Σcoef = 1 by construction)
+    assert abs(got[-1] - x[-1]) <= 2e-5 * abs(x[-1])
+    assert abs(got[0]) <= 2e-5 * abs(x[0])
+
+
 def test_quantize_eval_params_selects_block_projections():
     params = {
         "transformer.blocks.0.attn.qkv.weight": np.ones((6, 2), np.float32),

@@ -13,7 +13,11 @@ HALVE (int8 vs bf16).
 Scheme: symmetric per-output-channel int8 weights (absmax/127, exact
 over the bf16 master), symmetric per-token dynamic int8 activations.
 Attention is untouched (f32 logits, reference parity); only the
-qkv/proj/fc1/fc2 projections — 536 of ~684 GF/layer — quantize.
+qkv/proj/fc1/fc2 projections — 536 of ~684 GF/layer — quantize.  The
+MLP activation is the fma-only polynomial gelu (``ops.mlp._poly_gelu``,
+max |Δ| 4.7e-5 vs exact erf): the hidden is int8-quantized immediately
+after, so the deviation is two orders below the quantization step while
+skipping the VPU exp+divide (tail kernel 11.3 → 9.4 ms measured).
 
 This is an OPT-IN eval numerics mode (config ``eval_int8``), subject to
 the same adopt-or-refute accuracy methodology as bf16-logits
@@ -34,12 +38,22 @@ import jax
 import jax.numpy as jnp
 
 from .fused_block import _VMEM_LIMIT, _ln_f32
-from .mlp import _erf_gelu, _round_up
+from .mlp import _erf_gelu, _poly_gelu, _round_up
 
 _INTERPRET = False  # tests flip this to run the kernels off-TPU
 
 # Row-block size for the int8 kernels (sweepable: tools/int8_kernel_probe)
 BLOCK_M = int(os.environ.get("VLM_TPU_I8_BLOCK_M", "512"))
+
+# GELU for the int8 MLP: the hidden is per-token quantized to int8 right
+# after the activation, so the fma-only polynomial gelu (max |Δ| 4.7e-5
+# vs exact erf — two orders below the quantization step) is numerically
+# invisible here while skipping the VPU exp+divide that costs ~4 of the
+# tail kernel's 11.7 ms (tools/logs/int8_tail_variants.log; A/B with
+# VLM_TPU_I8_GELU=erf).  ref_* compositions use the SAME activation so
+# the kernel-vs-composition tests and the CPU fallback stay exact twins.
+_GELU = (_erf_gelu if os.environ.get("VLM_TPU_I8_GELU", "poly") == "erf"
+         else _poly_gelu)
 
 # params-dict key suffixes for quantized companions of a ".weight" key
 # ("::" cannot collide with reference state_dict names)
@@ -120,7 +134,7 @@ def ref_proj_mlp_tail_i8(ctx, pq, ps, bp, gamma1, res, ln_w, ln_b,
     xn = _ln_f32(x1, ln_w, ln_b)
     q1, s1 = _quant_rows(xn)
     h = _dot_i8(q1, w1q).astype(jnp.float32) * s1 * w1s[None, :]
-    h = _erf_gelu(h + b1.astype(jnp.float32))
+    h = _GELU(h + b1.astype(jnp.float32))
     q2, s2 = _quant_rows(h)
     y2 = _dot_i8(q2, w2q).astype(jnp.float32) * s2 * w2s[None, :]
     y2 = (y2 + b2.astype(jnp.float32)) * gamma2.astype(jnp.float32)
@@ -155,7 +169,7 @@ def _proj_mlp_i8_kernel(x_ref, pq_ref, ps_ref, bp_ref, g1_ref, lnw_ref,
     q1, s1 = _quant_rows(xn)
     h = _dot_i8(q1, w1q_ref[...]).astype(jnp.float32) * s1 \
         * w1s_ref[...].astype(jnp.float32)
-    h = _erf_gelu(h + b1_ref[...].astype(jnp.float32))
+    h = _GELU(h + b1_ref[...].astype(jnp.float32))
     q2, s2 = _quant_rows(h)
     y2 = _dot_i8(q2, w2q_ref[...]).astype(jnp.float32) * s2 \
         * w2s_ref[...].astype(jnp.float32)

@@ -53,6 +53,38 @@ def _erf_gelu(x):
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 
+# Clip-saturated odd-polynomial gelu: erf(x/√2) ≈ u·P(u²) with
+# u = clip(x, −T, T)/T, T = 4.5, P of degree 9 in u² (19 in x).  Fitted
+# by LSQ on Chebyshev nodes with the endpoint eliminated so Σcₖ = 1
+# EXACTLY — the saturated tails are gelu(x) = x (resp. 0) whose true
+# error 0.5·|x|·erfc(|x|/√2) ≤ 1.5e-5 peaks at |x| = T and decays.
+# Measured max |gelu_poly − gelu_erf| = 4.7e-5 over [−40, 40] with f32
+# Horner evaluation (fit recipe: tools/int8_tail_variants_probe.py
+# lineage; regenerate with numpy lstsq on 16001 Chebyshev nodes).
+_GELU_POLY_T = 4.5
+_GELU_POLY_COEF = (  # c₀..c₉, ascending odd powers of u
+    3.590282846823918, -12.10273623182234, 36.461995337755816,
+    -85.03475787176419, 152.33199218079585, -204.54489822051983,
+    196.73375743149893, -126.45531926658512, 48.21324671368246,
+    -8.1935629198655)
+
+
+def _poly_gelu(x):
+    """fma-only gelu for quantized/bf16 consumers: no exp, no divide —
+    ~2.5× cheaper than _erf_gelu on the VPU (the erf tail kernel spends
+    ~4 of 11.7 ms in the transcendental; tools/logs/int8_tail_variants
+    .log).  Max abs deviation from exact erf-gelu 4.7e-5 — two orders
+    below the int8 per-token quantization step (amax/127) and below one
+    bf16 ulp of typical hidden magnitudes, so downstream int8/bf16
+    rounding absorbs it."""
+    u = jnp.clip(x, -_GELU_POLY_T, _GELU_POLY_T) * (1.0 / _GELU_POLY_T)
+    u2 = u * u
+    p = _GELU_POLY_COEF[-1]
+    for c in _GELU_POLY_COEF[-2::-1]:
+        p = p * u2 + c
+    return 0.5 * x * (1.0 + u * p)
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[...]                                       # bm, C
     h = jax.lax.dot_general(
