@@ -1125,6 +1125,14 @@ def _main_impl() -> None:
     #            margin artifact).  Feature drift vs parity: min-cos
     #            0.99992, score max |Δ| 2.0e-3 @512-img COCO aspect
     #            (tools/logs/int8_probe_polygelu.log).
+    #            r5 addendum: two further int8 levers were measured
+    #            (tools/logs/int8_qk_poly11_probe.log) — the 5-fma
+    #            poly11 gelu (1735 img/s but 1/512 trained-margin
+    #            top-1 flip ⇒ opt-in via VLM_TPU_I8_GELU=poly11, NOT
+    #            headline) and int8 QK^T (refuted: 1416 img/s, VPU
+    #            dequant outweighs the d=64 MXU saving; opt-in via
+    #            VLM_TPU_I8_QK=1).  The headline keeps the zero-flip
+    #            deg-19 poly numerics.
     # BENCH_HEADLINE_MODE=parity pins the old behavior (skips the int8
     # compile); =int8 forces int8; =auto (default) times both, best wins.
     mode_env = os.environ.get("BENCH_HEADLINE_MODE", "auto")

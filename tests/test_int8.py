@@ -163,3 +163,96 @@ def test_quantize_eval_params_selects_block_projections():
     # originals untouched
     for k in params:
         np.testing.assert_array_equal(out[k], params[k])
+
+
+def test_poly11_gelu_error_bound():
+    """The shorter 5-fma gelu (VLM_TPU_I8_GELU=poly11) must stay within
+    its documented 9e-4 envelope of exact erf-gelu — still below the
+    per-token int8 quantization step of the hidden it feeds."""
+    import math
+
+    from vl_merging_tpu.ops.mlp import _poly11_gelu
+
+    x = np.linspace(-40.0, 40.0, 400001).astype(np.float32)
+    got = np.asarray(_poly11_gelu(jnp.asarray(x)), np.float64)
+    want = np.array([0.5 * v * (1.0 + math.erf(v / math.sqrt(2)))
+                     for v in x.astype(np.float64)])
+    assert np.abs(got - want).max() <= 9e-4
+    # exact saturation (Σcoef = 1 by construction)
+    assert abs(got[-1] - x[-1]) <= 2e-5 * abs(x[-1])
+    assert abs(got[0]) <= 2e-5 * abs(x[0])
+
+
+def test_packed_attention_i8qk_kernel_matches_twin():
+    """The opt-in int8-QK eval kernel (attention._packed_kernel_i8qk) vs
+    its jnp twin (_packed_reference_i8qk): identical quantization math,
+    tolerance one bf16 ulp (reduction-order rounding in softmax), and a
+    bounded drift vs the f32-logit reference path."""
+    from vl_merging_tpu.ops import attention as att
+
+    old = att._INTERPRET
+    att._INTERPRET = True
+    try:
+        rng = np.random.RandomState(0)
+        B, N, H, d = 4, 128, 4, 64
+        C = H * d
+        qkv = jnp.asarray(rng.randn(B, N, 3 * C).astype(np.float32)) \
+            .astype(jnp.bfloat16)
+        bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
+        mask = np.ones((B, N), np.int32)
+        mask[0, N // 2:] = 0
+        mask = jnp.asarray(mask)
+        scale = d ** -0.5
+
+        twin = att._packed_reference_i8qk(qkv, bias, mask, scale, H)
+        ker = att._pallas_packed_attention(qkv, bias, mask, scale, H,
+                                           block_b=2, qk_int8=True)
+        d_kt = np.abs(np.asarray(twin, np.float32)
+                      - np.asarray(ker, np.float32))
+        assert d_kt.max() <= 0.008  # ~1 bf16 ulp at O(1) magnitudes
+
+        exact = att._packed_reference(qkv, bias, mask, scale, H)
+        drift = np.abs(np.asarray(exact, np.float32)
+                       - np.asarray(twin, np.float32))
+        assert drift.max() <= 0.05  # int8-QK logit quantization envelope
+        # the dispatcher routes qk_int8 to the twin off-TPU
+        att._INTERPRET = False
+        via = att.packed_fused_attention(qkv, bias, mask, scale, H,
+                                         qk_int8=True)
+        np.testing.assert_array_equal(np.asarray(via, np.float32),
+                                      np.asarray(twin, np.float32))
+    finally:
+        att._INTERPRET = old
+
+
+def test_fused_eval_block_i8_qk_int8_path():
+    """fused_eval_block_i8(qk_int8=True) composes the int8-QK attention
+    with the int8 projections and stays close to the qk_int8=False
+    composition (the quantization drift envelope at these magnitudes)."""
+    rng = np.random.RandomState(1)
+    B, N, H, d = 2, 128, 4, 64
+    C, Hd = H * d, 4 * H * d
+    x = _rand(rng, B, N, C).astype(jnp.bfloat16)
+    ln1_w, ln1_b = jnp.ones((C,)), jnp.zeros((C,))
+    wq3, b3 = _rand(rng, 3 * C, C) * 0.05, jnp.zeros((3 * C,))
+    q3, s3 = i8.quantize_weight(wq3)
+    bias = _rand(rng, H, N, N) * 0.1
+    mask = jnp.ones((B, N), jnp.int32)
+    wp, bp = _rand(rng, C, C) * 0.05, jnp.zeros((C,))
+    pq, ps = i8.quantize_weight(wp)
+    g1 = jnp.ones((C,)) * 0.1
+    ln2_w, ln2_b = jnp.ones((C,)), jnp.zeros((C,))
+    w1, b1 = _rand(rng, Hd, C) * 0.05, jnp.zeros((Hd,))
+    w1q, w1s = i8.quantize_weight(w1)
+    w2, b2 = _rand(rng, C, Hd) * 0.05, jnp.zeros((C,))
+    w2q, w2s = i8.quantize_weight(w2)
+    g2 = jnp.ones((C,)) * 0.1
+
+    args = (x, ln1_w, ln1_b, q3, s3, b3, bias, mask, d ** -0.5, H,
+            pq, ps, bp, g1, ln2_w, ln2_b, w1q, w1s, b1, w2q, w2s, b2, g2)
+    base = np.asarray(i8.fused_eval_block_i8(*args, qk_int8=False),
+                      np.float32)
+    qk = np.asarray(i8.fused_eval_block_i8(*args, qk_int8=True),
+                    np.float32)
+    assert np.abs(base - qk).max() <= 0.05
+    assert np.abs(base - qk).max() > 0.0  # the mode actually engages

@@ -260,10 +260,71 @@ def _packed_kernel(qkv_q, qkv_k, qkv_v, bias_ref, mask_ref, o_ref, *,
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
+def _quant_last_i8(t32):
+    """Per-row symmetric int8 over the trailing dim (f32 in, int8 +
+    f32 scale out) — the attention twin of int8._quant_rows."""
+    amax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.round(t32 * (1.0 / s)).astype(jnp.int8), s
+
+
+def _packed_kernel_i8qk(qkv_q, qkv_k, qkv_v, bias_ref, mask_ref, o_ref, *,
+                        scale: float):
+    """_packed_kernel with the QK^T contraction int8×int8→int32.
+
+    Per-token symmetric quantization of q and k (64-dim rows) in VMEM;
+    the logits dequantize through the row/column scale outer product
+    (the row scale also absorbs the 1/√d softmax scale).  d=64 half-fills
+    the MXU in any dtype, so int8's 2× per-pass rate halves the QK term.
+    Softmax and the value contraction are unchanged (f32 / bf16).  This
+    is an opt-in numerics mode for the int8 eval tower ONLY — parity
+    paths keep bf16 QK with f32 accumulation (reference numerics).
+
+    MEASURED AND REFUTED on the dev v5e (r5, tools/logs/
+    int8_qk_poly11_probe.log, @384 ViT-B headline tower, 512 imgs):
+    1416.4 img/s vs 1652.6 for the bf16-QK int8 tower (1449.6 vs 1735.3
+    with the poly11 gelu) — the two dequant broadcast multiplies over
+    the (bb, Np, Np) logits tile plus the q/k quant chain cost more VPU
+    time than int8 saves on the half-filled MXU contraction.  Kept as a
+    reproducible opt-in (VLM_TPU_I8_QK=1) with interpret-parity tests;
+    do NOT adopt without a shape where the QK term dominates."""
+    bb, Np, _ = qkv_q.shape
+    valid = mask_ref[:, 0] > 0                             # bb, Np
+    for h in (0, 1):
+        sl = slice(h * 64, (h + 1) * 64)
+        q32 = qkv_q[:, :, sl].astype(jnp.float32)
+        k32 = qkv_k[:, :, sl].astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(q32), -1, keepdims=True),
+                         1e-8) / 127.0
+        sk = jnp.maximum(jnp.max(jnp.abs(k32), -1, keepdims=True),
+                         1e-8) / 127.0
+        # zero-pad the contraction depth 64→128 BEFORE the int8 cast:
+        # int8 arrays keep full 128-lane tiles (Mosaic-friendly) and a
+        # 64-deep contraction costs the same MXU passes as 128-deep, so
+        # the pad is free while int8's 2× per-pass rate halves QK time
+        pad = ((0, 0), (0, 0), (0, 64))
+        qi = jnp.round(jnp.pad(q32 * (1.0 / sq), pad)).astype(jnp.int8)
+        ki = jnp.round(jnp.pad(k32 * (1.0 / sk), pad)).astype(jnp.int8)
+        si = jax.lax.dot_general(
+            qi, ki, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)              # bb, Np, Np
+        s = si.astype(jnp.float32) * (sq * scale) \
+            * sk[:, :, 0][:, None, :]
+        s = s + bias_ref[h][None]
+        s = jnp.where(valid[:, None, :], s,
+                      jnp.asarray(-jnp.inf, jnp.float32))
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(qkv_v.dtype), qkv_v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads",
-                                             "block_b"))
+                                             "block_b", "qk_int8"))
 def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
-                             block_b: int = 4):
+                             block_b: int = 4, qk_int8: bool = False):
     """Fused attention over packed qkv (B, Np, 3C) → context (B, Np, C).
 
     Requires Np % 16 == 0 (sublane alignment; callers pre-pad the sequence
@@ -291,7 +352,9 @@ def _pallas_packed_attention(qkv, bias, mask, scale: float, num_heads: int,
         (block_b, Np, 128), lambda j, b, off=off: (b, 0, off + j),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, scale=scale),
+        functools.partial(
+            _packed_kernel_i8qk if qk_int8 else _packed_kernel,
+            scale=scale),
         out_shape=jax.ShapeDtypeStruct((Bp, Np, C), qkv.dtype),
         grid=grid,
         in_specs=[
@@ -586,6 +649,38 @@ def _packed_reference(qkv, bias, mask, scale: float, num_heads: int):
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
 
 
+def _packed_reference_i8qk(qkv, bias, mask, scale: float, num_heads: int):
+    """jnp twin of _packed_kernel_i8qk (identical math; off-TPU fallback
+    and the interpret-parity oracle for the int8-QK eval mode)."""
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    head_dim = C // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return jnp.transpose(
+            t.reshape(B, N, num_heads, head_dim), (0, 2, 1, 3))
+
+    qi, sq = _quant_last_i8(heads(q).astype(jnp.float32))  # B,H,N,d
+    ki, sk = _quant_last_i8(heads(k).astype(jnp.float32))
+    si = jax.lax.dot_general(
+        qi, ki, dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32)                  # B,H,N,N
+    s = si.astype(jnp.float32) * (sq * scale) \
+        * jnp.swapaxes(sk, -1, -2)
+    if bias is not None:
+        s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :] > 0, s,
+                      jnp.asarray(-jnp.inf, s.dtype))
+    p = jax.nn.softmax(s, axis=-1)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), heads(v),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32).astype(qkv.dtype)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _packed_attention_diff(qkv, bias, mask, scale: float, num_heads: int,
                            block_b: int):
@@ -620,18 +715,31 @@ def _packed_bwd(scale, num_heads, block_b, res, g):
 _packed_attention_diff.defvjp(_packed_fwd, _packed_bwd)
 
 
-def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int):
+def packed_fused_attention(qkv, bias, mask, scale: float, num_heads: int,
+                           qk_int8: bool = False):
     """Packed-layout dispatcher; falls back to the split path off-TPU or
-    for shapes the kernel does not cover."""
+    for shapes the kernel does not cover.  ``qk_int8`` selects the
+    eval-only int8-QK kernel (no backward; callers on the train path
+    must leave it False)."""
     B, N, threeC = qkv.shape
     C = threeC // 3
     head_dim = C // num_heads
-    ok = (jax.default_backend() == "tpu" and N % 16 == 0
-          and N >= PACKED_MIN_N
+    ok = ((jax.default_backend() == "tpu" or (_INTERPRET and qk_int8))
+          and N % 16 == 0
+          and N >= (128 if _INTERPRET else PACKED_MIN_N)
           and head_dim == 64 and num_heads % 2 == 0
           and bias is not None)
     if not ok:
+        if qk_int8:
+            return _packed_reference_i8qk(qkv, bias, mask, scale,
+                                          num_heads)
         return _packed_reference(qkv, bias, mask, scale, num_heads)
+    if qk_int8:
+        bb = 8 if (N <= 640 and B % 8 == 0) else \
+            (4 if B % 4 == 0 else (2 if B % 2 == 0 else 1))
+        return _pallas_packed_attention(
+            qkv, bias.astype(jnp.float32), mask.astype(jnp.int32), scale,
+            num_heads, block_b=bb, qk_int8=True)
     # VMEM: s tile (bb,Np,Np) f32 + bias pair + 3 input blocks; bb=8 fits
     # through Np=640, bb=2 through Np=1024 (VQA @480); larger N uses the
     # split path.

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from .fused_block import _VMEM_LIMIT, _ln_f32
-from .mlp import _erf_gelu, _poly_gelu, _round_up
+from .mlp import _erf_gelu, _poly11_gelu, _poly_gelu, _round_up
 
 _INTERPRET = False  # tests flip this to run the kernels off-TPU
 
@@ -52,8 +52,12 @@ BLOCK_M = int(os.environ.get("VLM_TPU_I8_BLOCK_M", "512"))
 # tail kernel's 11.7 ms (tools/logs/int8_tail_variants.log; A/B with
 # VLM_TPU_I8_GELU=erf).  ref_* compositions use the SAME activation so
 # the kernel-vs-composition tests and the CPU fallback stay exact twins.
-_GELU = (_erf_gelu if os.environ.get("VLM_TPU_I8_GELU", "poly") == "erf"
-         else _poly_gelu)
+# "poly11" (5-fma, max |Δ| 8.2e-4) measures 1735 vs 1653 img/s on the
+# headline tower but its trained-margin gate shows 1/512 ir top-1 flips
+# (−0.195 pts at probe scale, tools/logs/int8_trained_margin_poly11.log)
+# vs deg-19's 0/512 — so it stays OPT-IN, not the default.
+_GELU = {"erf": _erf_gelu, "poly11": _poly11_gelu}.get(
+    os.environ.get("VLM_TPU_I8_GELU", "poly"), _poly_gelu)
 
 # params-dict key suffixes for quantized companions of a ".weight" key
 # ("::" cannot collide with reference state_dict names)
@@ -257,15 +261,21 @@ def proj_mlp_tail_i8(ctx, pq, ps, bp, gamma1, res, ln_w, ln_b, w1q, w1s,
 def fused_eval_block_i8(x, ln1_w, ln1_b, qkv_q, qkv_s, qkv_bias, bias,
                         mask, scale, num_heads, pq, ps, bp, gamma1,
                         ln2_w, ln2_b, w1q, w1s, b1, w2q, w2s, b2, gamma2,
-                        *, use_pallas: bool = False):
+                        *, use_pallas: bool = False, qk_int8=None):
     """One eval transformer block with int8 projections: ln_linear_i8
-    (qkv) → packed f32-logit attention (reference-parity numerics) →
-    proj_mlp_tail_i8."""
+    (qkv) → packed attention → proj_mlp_tail_i8.  Attention logits are
+    f32 (reference-parity numerics) unless the opt-in int8-QK mode is
+    on (``qk_int8`` arg, default from VLM_TPU_I8_QK) — per-token int8
+    q/k with a dequantizing scale outer product; softmax and the value
+    contraction stay f32/bf16 (see attention._packed_kernel_i8qk)."""
     from .attention import packed_fused_attention
 
+    if qk_int8 is None:
+        qk_int8 = os.environ.get("VLM_TPU_I8_QK", "0") == "1"
     qkv = ln_linear_i8(x, ln1_w, ln1_b, qkv_q, qkv_s, qkv_bias,
                        use_pallas=use_pallas)
-    ctx = packed_fused_attention(qkv, bias, mask, scale, num_heads)
+    ctx = packed_fused_attention(qkv, bias, mask, scale, num_heads,
+                                 qk_int8=qk_int8)
     return proj_mlp_tail_i8(ctx, pq, ps, bp, gamma1, x, ln2_w, ln2_b,
                             w1q, w1s, b1, w2q, w2s, b2, gamma2,
                             use_pallas=use_pallas)

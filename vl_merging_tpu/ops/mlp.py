@@ -85,6 +85,31 @@ def _poly_gelu(x):
     return 0.5 * x * (1.0 + u * p)
 
 
+# Shorter variant for the int8 kernels: degree 11 in x (6 coefficients,
+# 5 Horner fmas vs 9 above), T = 3.5.  Max |Δ| vs exact erf-gelu
+# 8.2e-4 over [−8, 8] — still well under the int8 per-token quantization
+# step of the hidden (amax/127), which immediately re-rounds the
+# activation.  Same Σcₖ = 1 endpoint constraint ⇒ exact saturation.
+_GELU_POLY11_T = 3.5
+_GELU_POLY11_COEF = (  # c₀..c₅, ascending odd powers of u
+    2.781156562, -5.458430753, 8.694525338, -8.887355099,
+    5.116006695, -1.245902743)
+
+
+def _poly11_gelu(x):
+    """5-fma gelu (see _poly_gelu); max |Δ| 8.2e-4 vs exact erf-gelu.
+    Opt-in for the int8 MLP via VLM_TPU_I8_GELU=poly11 (the hidden is
+    int8-requantized right after, so the deviation stays below its
+    rounding step); adopt-or-refute via tools/int8_trained_margin_probe."""
+    u = jnp.clip(x, -_GELU_POLY11_T, _GELU_POLY11_T) \
+        * (1.0 / _GELU_POLY11_T)
+    u2 = u * u
+    p = _GELU_POLY11_COEF[-1]
+    for c in _GELU_POLY11_COEF[-2::-1]:
+        p = p * u2 + c
+    return 0.5 * x * (1.0 + u * p)
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[...]                                       # bm, C
     h = jax.lax.dot_general(
