@@ -183,6 +183,25 @@ def test_poly11_gelu_error_bound():
     assert abs(got[0]) <= 2e-5 * abs(x[0])
 
 
+def test_poly13_gelu_error_bound():
+    """The middle-rung 6-fma gelu (VLM_TPU_I8_GELU=poly13) must stay
+    within its documented 2e-4 envelope of exact erf-gelu — 4.7x tighter
+    than poly11 at one extra fma (T=3.95 moves the clip-saturation error
+    off the critical path; see ops/mlp._poly13_gelu)."""
+    import math
+
+    from vl_merging_tpu.ops.mlp import _poly13_gelu
+
+    x = np.linspace(-40.0, 40.0, 400001).astype(np.float32)
+    got = np.asarray(_poly13_gelu(jnp.asarray(x)), np.float64)
+    want = np.array([0.5 * v * (1.0 + math.erf(v / math.sqrt(2)))
+                     for v in x.astype(np.float64)])
+    assert np.abs(got - want).max() <= 2e-4
+    # exact saturation (Σcoef = 1 by construction)
+    assert abs(got[-1] - x[-1]) <= 2e-5 * abs(x[-1])
+    assert abs(got[0]) <= 2e-5 * abs(x[0])
+
+
 def test_packed_attention_i8qk_kernel_matches_twin():
     """The opt-in int8-QK eval kernel (attention._packed_kernel_i8qk) vs
     its jnp twin (_packed_reference_i8qk): identical quantization math,

@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from .fused_block import _VMEM_LIMIT, _ln_f32
-from .mlp import _erf_gelu, _poly11_gelu, _poly_gelu, _round_up
+from .mlp import (_erf_gelu, _poly11_gelu, _poly13_gelu, _poly_gelu,
+                  _round_up)
 
 _INTERPRET = False  # tests flip this to run the kernels off-TPU
 
@@ -56,7 +57,8 @@ BLOCK_M = int(os.environ.get("VLM_TPU_I8_BLOCK_M", "512"))
 # headline tower but its trained-margin gate shows 1/512 ir top-1 flips
 # (−0.195 pts at probe scale, tools/logs/int8_trained_margin_poly11.log)
 # vs deg-19's 0/512 — so it stays OPT-IN, not the default.
-_GELU = {"erf": _erf_gelu, "poly11": _poly11_gelu}.get(
+_GELU = {"erf": _erf_gelu, "poly11": _poly11_gelu,
+         "poly13": _poly13_gelu}.get(
     os.environ.get("VLM_TPU_I8_GELU", "poly"), _poly_gelu)
 
 # params-dict key suffixes for quantized companions of a ".weight" key

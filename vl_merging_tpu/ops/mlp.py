@@ -110,6 +110,33 @@ def _poly11_gelu(x):
     return 0.5 * x * (1.0 + u * p)
 
 
+# Middle rung: degree 13 in x (7 coefficients, 6 Horner fmas), T = 3.95.
+# poly11's 8.2e-4 error is DOMINATED by its clip point (the saturated
+# tail's true error 0.5·|x|·erfc(|x|/√2) is 8.1e-4 at T = 3.5); one more
+# coefficient affords T = 3.95 where the tail term is 1.5e-4 and an
+# x-weighted LSQ (equalizing GELU error, not erf error) holds the
+# polynomial ripple at the same level.  Max |Δ| vs exact erf-gelu
+# 1.75e-4 over [−12, 12] in f32 Horner — 4.7× tighter than poly11 at
+# one extra fma.  Same Σcₖ = 1 constraint ⇒ exact saturation.
+_GELU_POLY13_T = 3.95
+_GELU_POLY13_COEF = (  # c₀..c₆, ascending odd powers of u
+    3.144041517, -7.974838082, 16.980673852, -24.785977463,
+    23.048449174, -12.161256715, 2.748907717)
+
+
+def _poly13_gelu(x):
+    """6-fma gelu (see _poly_gelu); max |Δ| 1.75e-4 vs exact erf-gelu.
+    Opt-in for the int8 MLP via VLM_TPU_I8_GELU=poly13;
+    adopt-or-refute via tools/int8_trained_margin_probe."""
+    u = jnp.clip(x, -_GELU_POLY13_T, _GELU_POLY13_T) \
+        * (1.0 / _GELU_POLY13_T)
+    u2 = u * u
+    p = _GELU_POLY13_COEF[-1]
+    for c in _GELU_POLY13_COEF[-2::-1]:
+        p = p * u2 + c
+    return 0.5 * x * (1.0 + u * p)
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[...]                                       # bm, C
     h = jax.lax.dot_general(
